@@ -1,0 +1,83 @@
+"""Typed configuration for the whole pipeline.
+
+Every hard-coded constant that is buried at call sites in the reference is
+captured here with its provenance, so parity runs use the defaults and scaled
+runs override them (SURVEY.md §5 "config/flag system").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # ---- static capacities (TPU shapes; new design, no reference analogue) --
+    n_views: int = 5            # cameras
+    max_people: int = 10        # detections per view (padded)
+    max_tracks: int = 16        # live tracklet slots
+    n_kps: int = 17             # COCO detections
+    dtype: str = "float32"
+
+    # ---- detection filtering (ref:src/motion_capture.py:1023-1043,1091) ----
+    filter_min_kps_score: float = 0.01  # a keypoint is valid above this score
+    filter_min_valid_kps: int = 4       # poses need at least this many valid kps
+    filter_min_bbox_px: float = 5.0     # min bbox side over valid kps
+
+    # ---- affinity / association --------------------------------------------
+    # spatial path (ref:src/mv_math_util.py:320-351)
+    spatial_fill_distance: float = 50.0
+    affinity_sigmoid_scale: float = 5.0
+    # spatial-time path (ref:src/motion_capture.py:742-756)
+    st_norm_mean: float = 15.0
+    st_norm_std: float = 30.0
+    st_sim_floor: float = 1e-3
+    # epipolar / reprojection validity gates
+    epipolar_min_kps_score: float = 0.1   # ref:src/motion_capture.py:694-696
+    reproj_min_kps_score: float = 0.1     # ref:src/motion_capture.py:714
+    # match binarization (ref:src/motion_capture.py:417-419)
+    match_support_threshold: float = 1.9
+
+    # ---- ALS multi-way matching (ref:src/mv_association.py:222-318) --------
+    als_alpha: float = 50.0
+    als_beta: float = 0.1
+    als_mu: float = 64.0
+    als_tol: float = 1e-4
+    als_max_iter: int = 1000
+    als_rank_factor: int = 2   # maxRank = rank_factor * max people per group
+
+    # ---- triangulation (ref:src/mv_math_util.py:152-212) -------------------
+    triangulate_min_score: float = 0.01
+    triangulate_refine_iters: int = 2
+
+    # ---- tracker lifecycle (ref:src/motion_capture.py:319-320) -------------
+    n_init_hits: int = 3   # Tentative -> Confirmed
+    max_age: int = 0       # missed frames before death
+
+    # ---- inverse kinematics (ref:src/inverse_kinematics.py:389-407) --------
+    ik_cold_iters: int = 50
+    ik_warm_iters: int = 5
+    ik_proj_eps: float = 1e-5      # divide guard (ref:src/inverse_kinematics.py:229)
+    ik_lm_damping_init: float = 1e-3
+    ik_lm_damping_up: float = 10.0
+    ik_lm_damping_down: float = 0.33
+
+    # ---- run-mode driver (ref:src/motion_capture.py:1058-1060) -------------
+    max_frames: Optional[int] = 300
+
+    @property
+    def n_obs_kps(self) -> int:
+        """Detections + synthetic mid-spine appended for IK."""
+        return self.n_kps + 1
+
+    @property
+    def n_matrix(self) -> int:
+        """Static side of the spatial-time association matrix."""
+        return self.max_tracks + self.n_views * self.max_people
+
+    @property
+    def als_max_rank(self) -> int:
+        return min(self.n_matrix, self.als_rank_factor * max(self.max_tracks, self.max_people))
+
+
+SHELF = PipelineConfig()

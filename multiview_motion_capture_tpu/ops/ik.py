@@ -1,0 +1,205 @@
+"""Batched Levenberg-Marquardt inverse kinematics on reprojection residuals.
+
+Re-designs ref:src/inverse_kinematics.py:202-433:
+
+- the two-stage solve (pose-only, then pose+bone-lengths;
+  ref:inverse_kinematics.py:402-407) runs as fixed-iteration LM loops with
+  `jax.jacfwd` jacobians instead of scipy TRF `least_squares`,
+- one solver instance handles *all* tracklets at once via vmap — the
+  reference solves people serially,
+- unobserved cameras are masked with zero residual weight instead of
+  building per-tracklet python lists,
+- the synthetic mid-spine observation (ref:inverse_kinematics.py:339-348,
+  370-378) is appended in closed form,
+- the residual is the score-weighted per-coordinate reprojection difference
+  (ref:inverse_kinematics.py:219-236) with the same 1e-5 projective divide
+  guard.
+
+Parameter packing: x = [root(3) | euler(18*3) | side_bone_lens(11)] = 68.
+Stage 1 freezes the bone lengths by zeroing their update (the reference
+simply excludes them from the parameter vector).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_motion_capture_tpu.utils.precision import high_precision
+
+from multiview_motion_capture_tpu.ops.fk import (
+    N_JOINTS,
+    N_SIDE_BONES,
+    Skeleton,
+    forward_kinematics,
+)
+from multiview_motion_capture_tpu.pose_def import (
+    IK_OBS_KPS_IDX,
+    IK_SKEL_KPS_IDX,
+    kps_index,
+    KpsFormat,
+    KpsType,
+)
+
+Array = jnp.ndarray
+
+N_PARAMS = 3 + N_JOINTS * 3 + N_SIDE_BONES  # 68
+
+_COCO_IDX = kps_index(KpsFormat.COCO)
+_LSH, _RSH = _COCO_IDX[KpsType.L_Shoulder], _COCO_IDX[KpsType.R_Shoulder]
+_LHIP, _RHIP = _COCO_IDX[KpsType.L_Hip], _COCO_IDX[KpsType.R_Hip]
+
+_SKEL_SEL = jnp.asarray(IK_SKEL_KPS_IDX)  # (16,) joints observable in COCO+spine
+_OBS_SEL = jnp.asarray(IK_OBS_KPS_IDX)    # (16,) rows in the COCO+spine observation
+
+
+class IkParams(NamedTuple):
+    root: Array       # (..., 3)
+    euler: Array      # (..., 18, 3)
+    side_lens: Array  # (..., 11)
+
+    def pack(self) -> Array:
+        return jnp.concatenate(
+            [self.root, self.euler.reshape(self.euler.shape[:-2] + (N_JOINTS * 3,)),
+             self.side_lens],
+            axis=-1,
+        )
+
+    @classmethod
+    def unpack(cls, x: Array) -> "IkParams":
+        root = x[..., :3]
+        euler = x[..., 3:3 + N_JOINTS * 3].reshape(x.shape[:-1] + (N_JOINTS, 3))
+        side = x[..., 3 + N_JOINTS * 3:]
+        return cls(root=root, euler=euler, side_lens=side)
+
+
+def add_mid_spine(obs: Array) -> Array:
+    """Append the synthetic mid-spine keypoint to COCO-17 observations
+    (ref:src/inverse_kinematics.py:339-348): position = midpoint of shoulder
+    and hip centers, score = product of the four contributing scores.
+
+    obs: (..., 17, 3) -> (..., 18, 3)."""
+    mid_sh = 0.5 * (obs[..., _LSH, :2] + obs[..., _RSH, :2])
+    mid_hip = 0.5 * (obs[..., _LHIP, :2] + obs[..., _RHIP, :2])
+    spine_xy = 0.5 * (mid_sh + mid_hip)
+    score = (
+        obs[..., _LSH, 2] * obs[..., _RSH, 2] * obs[..., _LHIP, 2] * obs[..., _RHIP, 2]
+    )
+    spine = jnp.concatenate([spine_xy, score[..., None]], axis=-1)
+    return jnp.concatenate([obs, spine[..., None, :]], axis=-2)
+
+
+def _residual(
+    x: Array, skel: Skeleton, obs: Array, view_w: Array, P: Array, eps: float
+) -> Array:
+    """Score-weighted reprojection residual.
+
+    x: (68,); obs: (V, 18, 3) COCO+spine observations; view_w: (V,) weights
+    (0 for unobserved cameras); P: (V, 3, 4).
+    Returns (V*16*2,).
+    """
+    p = IkParams.unpack(x)
+    joints = forward_kinematics(skel, p.root, p.euler, p.side_lens)  # (18, 3)
+    sel = joints[_SKEL_SEL]  # (16, 3)
+    homo = jnp.concatenate([sel, jnp.ones_like(sel[:, :1])], axis=-1)  # (16, 4)
+    proj = jnp.einsum("vab,kb->vka", P, homo)  # (V, 16, 3)
+    uv = proj[..., :2] / (eps + proj[..., 2:3])
+    tgt = obs[:, _OBS_SEL, :]  # (V, 16, 3)
+    diff = (uv - tgt[..., :2]) * tgt[..., 2:3] * view_w[:, None, None]
+    return diff.reshape(-1)
+
+
+def _lm_solve(
+    x0: Array,
+    skel: Skeleton,
+    obs: Array,
+    view_w: Array,
+    P: Array,
+    free_mask: Array,
+    n_iters: int,
+    eps: float,
+    lam0: float,
+    lam_up: float,
+    lam_down: float,
+) -> Array:
+    """Fixed-iteration Levenberg-Marquardt over the packed parameter vector,
+    restricted to `free_mask` parameters (stage 1 freezes bone lengths)."""
+
+    def resid(x):
+        return _residual(x, skel, obs, view_w, P, eps)
+
+    def cost(x):
+        r = resid(x)
+        return 0.5 * jnp.dot(r, r)
+
+    def step(carry, _):
+        x, lam = carry
+        r = resid(x)
+        J = jax.jacfwd(resid)(x)  # (R, 68)
+        J = J * free_mask[None, :]
+        JtJ = J.T @ J
+        g = J.T @ r
+        n = JtJ.shape[0]
+        A = JtJ + lam * jnp.eye(n, dtype=x.dtype)
+        dx = -jnp.linalg.solve(A, g) * free_mask
+        x_new = x + dx
+        better = cost(x_new) < 0.5 * jnp.dot(r, r)
+        x = jnp.where(better, x_new, x)
+        lam = jnp.where(better, jnp.maximum(lam * lam_down, 1e-8),
+                        jnp.minimum(lam * lam_up, 1e6))
+        return (x, lam), None
+
+    (x, _), _ = jax.lax.scan(step, (x0, jnp.asarray(lam0, x0.dtype)), None, length=n_iters)
+    return x
+
+
+_FREE_POSE = np.zeros(N_PARAMS, dtype=np.float32)
+_FREE_POSE[: 3 + N_JOINTS * 3] = 1.0
+_FREE_ALL = np.ones(N_PARAMS, dtype=np.float32)
+
+
+@high_precision
+@functools.partial(jax.jit, static_argnames=("n_iters", "eps", "lam0", "lam_up", "lam_down"))
+def solve_two_stage(
+    init: IkParams,
+    skel: Skeleton,
+    obs_coco: Array,
+    view_w: Array,
+    P: Array,
+    n_iters: int,
+    eps: float = 1e-5,
+    lam0: float = 1e-3,
+    lam_up: float = 10.0,
+    lam_down: float = 0.33,
+) -> Tuple[IkParams, Array]:
+    """The reference's solve(): pose-only then pose+bone-lengths
+    (ref:src/inverse_kinematics.py:402-407), batched over a leading tracklet
+    axis.
+
+    Args:
+      init: IkParams batched (T, ...).
+      obs_coco: (T, V, 17, 3) per-view COCO observations (mid-spine appended
+        internally).
+      view_w: (T, V) weights, 0 for cameras not part of the match.
+      P: (V, 3, 4) projection matrices.
+      n_iters: LM iterations per stage (50 cold / 5 warm; ref:397-400).
+    Returns:
+      (params, joints): refined parameters and FK joint positions (T, 18, 3).
+    """
+    obs = add_mid_spine(obs_coco)  # (T, V, 18, 3)
+    free_pose = jnp.asarray(_FREE_POSE)
+    free_all = jnp.asarray(_FREE_ALL)
+
+    def solve_one(x0, obs_t, w_t):
+        x1 = _lm_solve(x0, skel, obs_t, w_t, P, free_pose, n_iters, eps, lam0, lam_up, lam_down)
+        x2 = _lm_solve(x1, skel, obs_t, w_t, P, free_all, n_iters, eps, lam0, lam_up, lam_down)
+        return x2
+
+    x0 = init.pack()
+    x = jax.vmap(solve_one)(x0, obs, view_w)
+    params = IkParams.unpack(x)
+    joints = forward_kinematics(skel, params.root, params.euler, params.side_lens)
+    return params, joints

@@ -1,0 +1,177 @@
+"""End-to-end pipeline drivers: prepare / run / evaluate.
+
+The reference's `run_main` loop (ref:src/motion_capture.py:1046-1129) becomes:
+  prepare: OpenPose JSON -> packed npz (data.ingest)
+  run:     one `lax.scan` over the whole packed sequence on device
+           (tracker.run_offline), or a streaming host loop (tracker.MvTracker)
+  output:  tracklets pickle {"tracklets": [...]} sorted by length
+           (ref:motion_capture.py:1120-1129) + optional BVH export per track.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_motion_capture_tpu.cameras import CameraBank
+from multiview_motion_capture_tpu.config import PipelineConfig
+from multiview_motion_capture_tpu.data.ingest import (
+    FrameBatch,
+    filter_bad_poses,
+    load_openpose_dir,
+    save_frame_batch,
+)
+from multiview_motion_capture_tpu.tracker import (
+    Tracklet,
+    TrackerContext,
+    assemble_tracklets,
+    run_offline,
+)
+from multiview_motion_capture_tpu.utils.profiling import StageTimer
+
+
+@dataclasses.dataclass
+class RunResult:
+    tracklets: List[Tracklet]
+    n_frames: int
+    wall_time_s: float
+    track_time_s: float
+    timings: dict
+
+    @property
+    def fps(self) -> float:
+        return self.n_frames / max(self.track_time_s, 1e-9)
+
+
+def prepare(kps_dir: Path, out_path: Path, cfg: Optional[PipelineConfig] = None,
+            max_frames: Optional[int] = None) -> FrameBatch:
+    """prepare mode: parse OpenPose JSON into the packed npz
+    (ref:src/motion_capture.py:987-1005)."""
+    cfg = cfg or PipelineConfig()
+    batch = load_openpose_dir(Path(kps_dir), cfg, max_frames=max_frames)
+    save_frame_batch(Path(out_path), batch)
+    return batch
+
+
+def run(
+    batch: FrameBatch,
+    cams: CameraBank,
+    cfg: Optional[PipelineConfig] = None,
+    use_ik: bool = True,
+    skip_first_frame: bool = False,
+) -> RunResult:
+    """run mode: filter detections, track + solve the whole sequence.
+
+    `skip_first_frame` replicates the reference's off-by-one (frm_idx starts
+    at 1, ref:src/motion_capture.py:1058-1063) for strict parity runs; the
+    default processes every frame.
+    """
+    cfg = cfg or PipelineConfig(n_views=batch.n_views)
+    timer = StageTimer()
+
+    with timer.stage("filter"):
+        batch = filter_bad_poses(batch, cfg)
+
+    start = 0
+    frame_idxs = np.arange(batch.n_frames)
+    if skip_first_frame:
+        start = 1
+    if cfg.max_frames is not None:
+        end = min(batch.n_frames, start + cfg.max_frames)
+    else:
+        end = batch.n_frames
+    kps = jnp.asarray(batch.kps[start:end])
+    valid = jnp.asarray(batch.valid[start:end])
+    frame_idxs = frame_idxs[start:end]
+
+    with timer.stage("build_context"):
+        ctx = TrackerContext.build(cams, cfg, use_ik=use_ik)
+
+    t0 = time.perf_counter()
+    with timer.stage("compile+track"):
+        state, outputs = run_offline(ctx, kps, valid)
+        jax.block_until_ready(outputs.pose3d)
+    # timed run excludes compilation: scan again for the steady-state number
+    with timer.stage("track"):
+        t1 = time.perf_counter()
+        state, outputs = run_offline(ctx, kps, valid)
+        jax.block_until_ready(outputs.pose3d)
+        track_time = time.perf_counter() - t1
+
+    with timer.stage("assemble"):
+        host_out = jax.device_get(outputs)
+        tracklets = assemble_tracklets(host_out, list(frame_idxs))
+
+    return RunResult(
+        tracklets=tracklets,
+        n_frames=int(end - start),
+        wall_time_s=time.perf_counter() - t0,
+        track_time_s=track_time,
+        timings=timer.summary(),
+    )
+
+
+def save_tracklets(path: Path, tracklets: List[Tracklet]) -> None:
+    """Write the reference's output contract: a pickle of
+    {"tracklets": [...]} sorted by descending length
+    (ref:src/motion_capture.py:1127-1129), with each tracklet a plain dict so
+    the file loads without this package installed."""
+    payload = {
+        "tracklets": [
+            {
+                "track_id": t.track_id,
+                "frame_idxs": list(t.frame_idxs),
+                "roots": t.roots,
+                "euler_angles": t.eulers,
+                "side_bone_lens": t.side_lens,
+                "poses_3d": t.poses_3d,
+                "poses_score": t.poses_score,
+                "matched_pose": t.matched_pose,
+                "kps_format": "BASIC_18",
+            }
+            for t in tracklets
+        ]
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_tracklets(path: Path) -> List[Tracklet]:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    out = []
+    for d in payload["tracklets"]:
+        out.append(
+            Tracklet(
+                track_id=d["track_id"],
+                frame_idxs=d["frame_idxs"],
+                roots=d["roots"],
+                eulers=d["euler_angles"],
+                side_lens=d["side_bone_lens"],
+                poses_3d=d["poses_3d"],
+                poses_score=d["poses_score"],
+                matched_pose=d["matched_pose"],
+            )
+        )
+    return out
+
+
+def mpjpe_between(t_a: Tracklet, t_b: Tracklet, joint_idx=None) -> float:
+    """Mean per-joint position error over the overlapping frames of two
+    tracklets (the parity metric of BASELINE.md)."""
+    frames_a = {f: i for i, f in enumerate(t_a.frame_idxs)}
+    pairs = [(frames_a[f], j) for j, f in enumerate(t_b.frame_idxs) if f in frames_a]
+    if not pairs:
+        return float("nan")
+    ia, ib = zip(*pairs)
+    pa = t_a.poses_3d[list(ia)]
+    pb = t_b.poses_3d[list(ib)]
+    if joint_idx is not None:
+        pa, pb = pa[:, joint_idx], pb[:, joint_idx]
+    return float(np.linalg.norm(pa - pb, axis=-1).mean())

@@ -1,0 +1,601 @@
+"""Fixed-capacity multi-view tracker: one jittable step, scanned over frames.
+
+Re-designs the reference's `MvTracker`/`MvTracklet` object state machine
+(ref:src/motion_capture.py:288-963) as a pure function over a fixed-size
+slot-array state, so the *entire* per-frame pipeline — affinity assembly,
+ALS association, group extraction, triangulation and batched IK — compiles
+into a single XLA program and the offline path is one `lax.scan` over the
+whole sequence.
+
+Semantics parity map (ref:src/motion_capture.py):
+- predict / time_since_update            :349-350, 874-875
+- spatial-only matching (no live tracks) :597-631  (geometry_affinity path)
+- spatial-time matrix assembly           :634-756
+- ALS + parse into groups                :758-808, 417-446
+- tracklet update (>= 2 views)           :924-934  (single-view match = no-op)
+- tracklet death (Tentative or age out)  :387-391
+- spawn from >= 2-view spatial groups    :936-958
+- IK per update (warm) / per spawn (cold):326-332, 361-368
+
+Deliberate deviations (documented per SURVEY.md §8):
+- the reference's HEAD bug of importing the broken `_pino` solver
+  (ref:motion_capture.py:37) is not reproduced; `inverse_kinematics.py` is
+  the spec,
+- padded slots use explicit validity masks instead of dynamic list sizes,
+- the ALS random init has the static padded shape (same seeded distribution).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from multiview_motion_capture_tpu.cameras import (
+    CameraBank,
+    pairwise_fundamental_det_np,
+    pairwise_fundamental_np,
+)
+from multiview_motion_capture_tpu.config import PipelineConfig
+from multiview_motion_capture_tpu.ops import association as assoc
+from multiview_motion_capture_tpu.ops import geometry as geom
+from multiview_motion_capture_tpu.ops.fk import Skeleton, forward_kinematics
+from multiview_motion_capture_tpu.ops import ik as ik_ops
+from multiview_motion_capture_tpu.ops.triangulate import triangulate_points
+from multiview_motion_capture_tpu.pose_def import (
+    KpsFormat,
+    common_kps_index,
+    kps_index,
+    KpsType,
+)
+
+Array = jnp.ndarray
+
+# BASIC_18 joints observable in COCO (15: everything but Mid_Hip, Spine, Neck)
+B18_COCO_SKEL_IDX, B18_COCO_OBS_IDX = common_kps_index(KpsFormat.BASIC_18, KpsFormat.COCO)
+_COCO_IDX = kps_index(KpsFormat.COCO)
+_LHIP, _RHIP = _COCO_IDX[KpsType.L_Hip], _COCO_IDX[KpsType.R_Hip]
+
+FREE, TENTATIVE, CONFIRMED = 0, 1, 2
+
+
+@struct.dataclass
+class TrackerState:
+    """Slot-array tracker state (all shapes static)."""
+
+    active: Array        # (T,) int32: 0 free / 1 tentative / 2 confirmed
+    track_id: Array      # (T,) int32
+    hits: Array          # (T,) int32
+    time_since_update: Array  # (T,) int32
+    root: Array          # (T, 3)
+    euler: Array         # (T, 18, 3)
+    side_lens: Array     # (T, 11)
+    pose3d: Array        # (T, 18, 3) current 3D pose (FK joints or triangulation)
+    pose3d_score: Array  # (T, 18)
+    next_track_id: Array  # () int32
+
+    @classmethod
+    def zeros(cls, cfg: PipelineConfig) -> "TrackerState":
+        T = cfg.max_tracks
+        return cls(
+            active=jnp.zeros(T, jnp.int32),
+            track_id=jnp.full((T,), -1, jnp.int32),
+            hits=jnp.zeros(T, jnp.int32),
+            time_since_update=jnp.zeros(T, jnp.int32),
+            root=jnp.zeros((T, 3)),
+            euler=jnp.zeros((T, 18, 3)),
+            side_lens=jnp.zeros((T, 11)),
+            pose3d=jnp.zeros((T, 18, 3)),
+            pose3d_score=jnp.zeros((T, 18)),
+            next_track_id=jnp.asarray(0, jnp.int32),
+        )
+
+
+class FrameOutput(NamedTuple):
+    """Per-frame emission; host code reconstructs tracklets from the stack."""
+
+    track_id: Array      # (T,) current id per slot (-1 if free)
+    active: Array        # (T,) state after the update
+    updated: Array       # (T,) bool — slot received a new pose this frame
+    spawned: Array       # (T,) bool — slot was born this frame
+    died_track_id: Array  # (T,) id of a track that died this frame (-1 none)
+    root: Array          # (T, 3)
+    euler: Array         # (T, 18, 3)
+    side_lens: Array     # (T, 11)
+    pose3d: Array        # (T, 18, 3)
+    pose3d_score: Array  # (T, 18)
+    matched_pose: Array  # (T, V) int32 matched detection slot per view (-1)
+    als_iters: Array     # () int32
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerContext:
+    """Static per-sequence context (closed over by the jitted step)."""
+
+    cfg: PipelineConfig
+    cams: CameraBank
+    skel: Skeleton
+    F_spatial: Array   # (V, V, 3, 3) skew-formula F (spatial affinity)
+    F_det: Array       # (V, V, 3, 3) minor-formula F (spatial-time epipolar)
+    K_inv: Array       # (V, 3, 3)
+    diag_mask: Array   # (N, N) same-group block mask for ALS
+    init_A: Array      # (N, rank) seeded ALS init factor
+    use_ik: bool = True
+
+    @classmethod
+    def build(cls, cams: CameraBank, cfg: PipelineConfig, use_ik: bool = True) -> "TrackerContext":
+        K = np.asarray(cams.K, dtype=np.float64)
+        Rt = np.asarray(cams.Rt, dtype=np.float64)
+        P = np.asarray(cams.P, dtype=np.float64)
+        group_sizes = (cfg.max_tracks,) + (cfg.max_people,) * cfg.n_views
+        n = cfg.n_matrix
+        return cls(
+            cfg=cfg,
+            cams=cams,
+            skel=Skeleton.default(),
+            F_spatial=jnp.asarray(pairwise_fundamental_np(K, Rt), dtype=jnp.float32),
+            F_det=jnp.asarray(pairwise_fundamental_det_np(P), dtype=jnp.float32),
+            K_inv=jnp.linalg.inv(cams.K),
+            diag_mask=jnp.asarray(assoc.block_diag_mask(group_sizes)),
+            init_A=jnp.asarray(assoc.default_init_factor(n, cfg.als_max_rank)),
+            use_ik=use_ik,
+        )
+
+
+# ---------------------------------------------------------------------------
+# similarity-matrix assembly
+# ---------------------------------------------------------------------------
+
+def _masked_sigmoid_similarity(dst: Array, valid2: Array, mean: Array, std: Array,
+                               scale: float) -> Array:
+    s = (dst - mean) / std
+    return jnp.where(valid2, jax.nn.sigmoid(-scale * s), 0.0)
+
+
+def _spatial_time_similarity(ctx: TrackerContext, state: TrackerState,
+                             kps: Array, det_valid: Array) -> Tuple[Array, Array]:
+    """The spatial-time similarity matrix (ref:src/motion_capture.py:634-756).
+
+    Layout: [T tracklet slots | view0 slots | view1 slots | ...].
+    Returns (sim (N, N), elem_valid (N,)).
+    """
+    cfg = ctx.cfg
+    T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
+    N = cfg.n_matrix
+
+    # ---- 2D-2D epipolar block (V,P,V,P) ----
+    ka = kps[:, :, None, None, :, :]                       # (V,P,1,1,K,3)
+    kb = kps[None, None, :, :, :, :]                       # (1,1,V,P,K,3)
+    Fab = ctx.F_det[:, None, :, None, :, :]                # (V,1,V,1,3,3)
+    d22 = geom.masked_symmetric_epipolar_error(ka, kb, Fab, cfg.epipolar_min_kps_score)
+    same_view = jnp.eye(V, dtype=bool)[:, None, :, None]
+    pair_valid = det_valid[:, :, None, None] & det_valid[None, None, :, :]
+    d22 = jnp.where(same_view | ~pair_valid, jnp.nan, d22)
+
+    # ---- tracklet -> 2D reprojection block (T,V,P) ----
+    if ctx.use_ik:
+        pts = state.pose3d[:, jnp.asarray(B18_COCO_SKEL_IDX), :]   # (T,15,3)
+        sc3 = state.pose3d_score[:, jnp.asarray(B18_COCO_SKEL_IDX)]
+        obs = kps[:, :, jnp.asarray(B18_COCO_OBS_IDX), :]          # (V,P,15,3)
+    else:
+        pts = state.pose3d[:, :17, :]
+        sc3 = state.pose3d_score[:, :17]
+        obs = kps
+    d23 = geom.masked_reprojection_error(
+        pts[:, None, None, :, :], sc3[:, None, None, :], obs[None, :, :, :, :],
+        ctx.cams.P[None, :, None, :, :], cfg.reproj_min_kps_score,
+    )  # (T, V, P)
+    t_alive = state.active > 0
+    d23 = jnp.where(t_alive[:, None, None] & det_valid[None, :, :], d23, jnp.nan)
+
+    # ---- assemble (N, N) ----
+    dst = jnp.full((N, N), jnp.nan, dtype=kps.dtype)
+    dst = dst.at[T:, T:].set(d22.reshape(V * P, V * P))
+    dst = dst.at[:T, T:].set(d23.reshape(T, V * P))
+    dst = dst.at[T:, :T].set(d23.reshape(T, V * P).T)
+
+    elem_valid = jnp.concatenate([t_alive, det_valid.reshape(-1)])
+    valid2 = elem_valid[:, None] & elem_valid[None, :]
+    eye = jnp.eye(N, dtype=bool)
+    dst = jnp.where(eye, 0.0, dst)  # i == j entries stay 0 (ref:676-677)
+
+    # nan -> (masked) max + 1 (ref:742-745)
+    finite = valid2 & ~jnp.isnan(dst)
+    maxv = jnp.max(jnp.where(finite, dst, -jnp.inf))
+    maxv = jnp.where(jnp.isfinite(maxv), maxv, 0.0)
+    dst = jnp.where(jnp.isnan(dst), maxv + 1.0, dst)
+
+    sim = _masked_sigmoid_similarity(
+        dst, valid2, cfg.st_norm_mean, cfg.st_norm_std, cfg.affinity_sigmoid_scale
+    )
+    sim = jnp.where(sim < cfg.st_sim_floor, 0.0, sim)  # ref:755-756
+    sim = jnp.minimum(sim, 1.0)
+    return sim, elem_valid
+
+
+def _spatial_similarity(ctx: TrackerContext, kps: Array, det_valid: Array) -> Tuple[Array, Array]:
+    """The spatial-only similarity (ref:src/motion_capture.py:597-631 +
+    ref:src/mv_math_util.py:320-351 `geometry_affinity`): raw epipolar
+    distances (no score gating), fill 50 for same-view/unknown, diagonal 0,
+    z-normalized by the matrix's own masked mean/std, sigmoid."""
+    cfg = ctx.cfg
+    T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
+    N = cfg.n_matrix
+
+    d = geom.projected_distance_all_pairs(kps, ctx.F_spatial)   # (V,P,V,P)
+    same_view = jnp.eye(V, dtype=bool)[:, None, :, None]
+    d = jnp.where(same_view, cfg.spatial_fill_distance, d)
+    dst = d.reshape(V * P, V * P)
+    eye = jnp.eye(V * P, dtype=bool)
+    dst = jnp.where(eye, 0.0, dst)
+
+    dv = det_valid.reshape(-1)
+    valid2 = dv[:, None] & dv[None, :]
+    cnt = jnp.maximum(valid2.sum(), 1)
+    mean = jnp.sum(jnp.where(valid2, dst, 0.0)) / cnt
+    var = jnp.sum(jnp.where(valid2, (dst - mean) ** 2, 0.0)) / cnt
+    std = jnp.maximum(jnp.sqrt(var), 1e-6)
+    sim2d = _masked_sigmoid_similarity(dst, valid2, mean, std, cfg.affinity_sigmoid_scale)
+
+    sim = jnp.zeros((N, N), dtype=kps.dtype)
+    sim = sim.at[T:, T:].set(sim2d)
+    elem_valid = jnp.concatenate([jnp.zeros(T, dtype=bool), dv])
+    return sim, elem_valid
+
+
+# ---------------------------------------------------------------------------
+# the tracker step
+# ---------------------------------------------------------------------------
+
+def _gather_obs(kps: Array, matched_pose: Array, exists: Array) -> Tuple[Array, Array]:
+    """Per-slot observation tensors from matched detection indices.
+
+    kps: (V, P, K, 3); matched_pose: (T, V); exists: (T, V).
+    Returns obs (T, V, K, 3) and view weights (T, V)."""
+    safe = jnp.maximum(matched_pose, 0)
+    obs = jnp.take_along_axis(
+        kps[None, :, :, :, :],
+        safe[:, :, None, None, None],
+        axis=2,
+    )[:, :, 0]  # (T, V, K, 3)
+    w = exists.astype(kps.dtype)
+    return obs * w[:, :, None, None], w
+
+
+def make_step(ctx: TrackerContext):
+    """Build the jitted per-frame step function."""
+    cfg = ctx.cfg
+    T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
+    N = cfg.n_matrix
+    skel = ctx.skel
+    obs_sel_cold = None  # placeholder for clarity
+
+    def step(state: TrackerState, frame) -> Tuple[TrackerState, FrameOutput]:
+        kps, det_valid = frame  # (V, P, K, 3), (V, P)
+
+        # 1. predict (ref:349-350)
+        tsu = state.time_since_update + (state.active > 0).astype(jnp.int32)
+        state = state.replace(time_since_update=tsu)
+
+        # 2. similarity matrix: spatial-time when any track is alive,
+        #    spatial-only otherwise (ref:829-835)
+        any_alive = jnp.any(state.active > 0)
+        sim_st, ev_st = _spatial_time_similarity(ctx, state, kps, det_valid)
+        sim_sp, ev_sp = _spatial_similarity(ctx, kps, det_valid)
+        sim = jnp.where(any_alive, sim_st, sim_sp)
+        elem_valid = jnp.where(any_alive, ev_st, ev_sp)
+
+        # 3. ALS + group extraction
+        als = assoc.match_als(
+            sim, ctx.diag_mask, ctx.init_A,
+            alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+            tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+        )
+        groups = assoc.extract_groups(als.x_bin, elem_valid)
+        rep, member = groups.rep, groups.member
+
+        # 4. per-slot / per-leader matched detections
+        det_rep = rep[T:].reshape(V, P)
+        det_member = member[T:].reshape(V, P)
+
+        def first_match(key):  # key: () group leader index
+            cand = det_member & (det_rep == key)              # (V, P)
+            exists = jnp.any(cand, axis=1)                    # (V,)
+            first = jnp.argmax(cand, axis=1).astype(jnp.int32)
+            return jnp.where(exists, first, -1), exists
+
+        slot_idx = jnp.arange(T, dtype=jnp.int32)
+        # a tracklet owns its group iff it is the group leader (the reference
+        # takes the first '3d' element of each group, ref:764-769; tracklet
+        # indices precede detections, so leader == lowest-index tracklet)
+        t_is_leader = member[:T] & (rep[:T] == slot_idx)
+        t_match, t_exists = jax.vmap(first_match)(slot_idx)   # (T, V), (T, V)
+        t_match = jnp.where(t_is_leader[:, None], t_match, -1)
+        t_exists = t_exists & t_is_leader[:, None]
+        t_nviews = t_exists.sum(axis=1)
+
+        update_mask = t_is_leader & (t_nviews >= 2)           # ref:927-928
+        in_match_dict = t_is_leader & (t_nviews >= 1)         # 1-view: no-op (ref:929-932)
+
+        # 5. missed tracks die (ref:387-391,933-934)
+        alive = state.active > 0
+        missed = alive & ~in_match_dict
+        dies = missed & (
+            (state.active == TENTATIVE) | (state.time_since_update > cfg.max_age)
+        )
+        died_track_id = jnp.where(dies, state.track_id, -1)
+        active_after_miss = jnp.where(dies, FREE, state.active)
+
+        # 6. spawn leaders: detection-led groups with >= 2 views (ref:936-958)
+        e_idx = jnp.arange(N - T, dtype=jnp.int32) + T
+        d_is_leader = member[T:] & (rep[T:] == e_idx)
+        s_match_all, s_exists_all = jax.vmap(first_match)(e_idx)  # (VP, V)
+        s_nviews = s_exists_all.sum(axis=1)
+        spawn_ok = d_is_leader & (s_nviews >= 2)
+        # only count spawns in spatial-time mode or spatial mode alike — the
+        # reference spawns from `spatial_matches` in both paths
+        spawn_rank = jnp.cumsum(spawn_ok.astype(jnp.int32)) - 1  # (VP,)
+
+        free_slots = active_after_miss == FREE
+        # order free slots by index: rank r -> slot index
+        free_order = jnp.argsort(~free_slots, stable=True).astype(jnp.int32)  # free first
+        n_free = free_slots.sum()
+
+        # slot for each spawning leader (or -1 if out of capacity)
+        leader_slot = jnp.where(
+            spawn_ok & (spawn_rank < n_free), free_order[jnp.clip(spawn_rank, 0, T - 1)], -1
+        )  # (VP,)
+
+        # scatter: for each slot, which leader spawns into it (-1 none)
+        slot_leader = jnp.full((T,), -1, jnp.int32)
+        slot_leader = slot_leader.at[jnp.where(leader_slot >= 0, leader_slot, T)].set(
+            e_idx, mode="drop"
+        )
+        spawned = slot_leader >= 0
+
+        s_match = jnp.where(
+            spawned[:, None],
+            jnp.take(s_match_all, jnp.maximum(slot_leader - T, 0), axis=0),
+            -1,
+        )
+        s_exists = spawned[:, None] & (s_match >= 0)
+
+        # 7. batched IK / triangulation
+        upd_obs, upd_w = _gather_obs(kps, t_match, t_exists)
+        upd_w = upd_w * update_mask[:, None].astype(upd_w.dtype)
+        new_obs, new_w = _gather_obs(kps, s_match, s_exists)
+        new_w = new_w * spawned[:, None].astype(new_w.dtype)
+
+        # cold init: triangulate COCO+spine observations, root = hip midpoint
+        # (ref:src/inverse_kinematics.py:389-397)
+        def cold_init(obs_t, w_t):
+            obs18 = ik_ops.add_mid_spine(obs_t)  # (V, 18, 3)
+            tri = triangulate_points(
+                ctx.cams.P, ctx.K_inv, obs18, w_t > 0,
+                cfg.triangulate_min_score, cfg.triangulate_refine_iters,
+            )  # (18, 4)
+            root = 0.5 * (tri[_LHIP, :3] + tri[_RHIP, :3])
+            return tri, root
+
+        tri_all, cold_roots = jax.vmap(cold_init)(new_obs, new_w)
+
+        if ctx.use_ik:
+            any_update = jnp.any(update_mask)
+            any_spawn = jnp.any(spawned)
+
+            def run_warm(_):
+                init = ik_ops.IkParams(state.root, state.euler, state.side_lens)
+                return ik_ops.solve_two_stage(
+                    init, skel, upd_obs, upd_w, ctx.cams.P,
+                    n_iters=cfg.ik_warm_iters, eps=cfg.ik_proj_eps,
+                    lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
+                    lam_down=cfg.ik_lm_damping_down,
+                )
+
+            def run_cold(_):
+                init = ik_ops.IkParams(
+                    root=cold_roots,
+                    euler=jnp.zeros((T, 18, 3), dtype=kps.dtype),
+                    side_lens=jnp.broadcast_to(skel.side_bone_lens, (T, 11)),
+                )
+                return ik_ops.solve_two_stage(
+                    init, skel, new_obs, new_w, ctx.cams.P,
+                    n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
+                    lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
+                    lam_down=cfg.ik_lm_damping_down,
+                )
+
+            def skip(_):
+                p = ik_ops.IkParams(state.root, state.euler, state.side_lens)
+                return p, state.pose3d
+
+            warm_params, warm_joints = jax.lax.cond(any_update, run_warm, skip, None)
+            cold_params, cold_joints = jax.lax.cond(any_spawn, run_cold, skip, None)
+
+            sel_u = update_mask
+            sel_s = spawned
+            new_root = jnp.where(sel_s[:, None], cold_params.root,
+                                 jnp.where(sel_u[:, None], warm_params.root, state.root))
+            new_euler = jnp.where(sel_s[:, None, None], cold_params.euler,
+                                  jnp.where(sel_u[:, None, None], warm_params.euler, state.euler))
+            new_side = jnp.where(sel_s[:, None], cold_params.side_lens,
+                                 jnp.where(sel_u[:, None], warm_params.side_lens, state.side_lens))
+            new_pose3d = jnp.where(sel_s[:, None, None], cold_joints,
+                                   jnp.where(sel_u[:, None, None], warm_joints, state.pose3d))
+            new_score = jnp.where((sel_s | sel_u)[:, None],
+                                  jnp.ones_like(state.pose3d_score), state.pose3d_score)
+        else:
+            # triangulation pass-through (SURVEY.md §7.2 minimum slice)
+            def tri_update(obs_t, w_t):
+                obs18 = ik_ops.add_mid_spine(obs_t)
+                return triangulate_points(
+                    ctx.cams.P, ctx.K_inv, obs18, w_t > 0,
+                    cfg.triangulate_min_score, cfg.triangulate_refine_iters,
+                )
+
+            tri_upd = jax.vmap(tri_update)(upd_obs, upd_w)
+            sel_u, sel_s = update_mask, spawned
+            new_pose3d = jnp.where(
+                sel_s[:, None, None], tri_all[..., :3],
+                jnp.where(sel_u[:, None, None], tri_upd[..., :3], state.pose3d))
+            new_score = jnp.where(
+                sel_s[:, None], tri_all[..., 3],
+                jnp.where(sel_u[:, None], tri_upd[..., 3], state.pose3d_score))
+            new_root = jnp.where((sel_s | sel_u)[:, None],
+                                 0.5 * (new_pose3d[:, _LHIP] + new_pose3d[:, _RHIP]),
+                                 state.root)
+            new_euler = state.euler
+            new_side = state.side_lens
+
+        # 8. lifecycle bookkeeping
+        touched = update_mask | spawned
+        new_hits = jnp.where(spawned, 1, jnp.where(update_mask, state.hits + 1, state.hits))
+        new_tsu = jnp.where(touched, 0, state.time_since_update)
+        promoted = (active_after_miss == TENTATIVE) & update_mask & (new_hits >= cfg.n_init_hits)
+        new_active = jnp.where(
+            spawned, TENTATIVE, jnp.where(promoted, CONFIRMED, active_after_miss)
+        )
+        spawn_order = jnp.cumsum(spawned.astype(jnp.int32)) - 1
+        new_ids = state.next_track_id + spawn_order
+        new_track_id = jnp.where(spawned, new_ids,
+                                 jnp.where(new_active > 0, state.track_id, -1))
+        next_tid = state.next_track_id + spawned.sum(dtype=jnp.int32)
+
+        new_state = TrackerState(
+            active=new_active.astype(jnp.int32),
+            track_id=new_track_id.astype(jnp.int32),
+            hits=new_hits.astype(jnp.int32),
+            time_since_update=new_tsu.astype(jnp.int32),
+            root=new_root,
+            euler=new_euler,
+            side_lens=new_side,
+            pose3d=new_pose3d,
+            pose3d_score=new_score,
+            next_track_id=next_tid,
+        )
+        out = FrameOutput(
+            track_id=new_track_id.astype(jnp.int32),
+            active=new_active.astype(jnp.int32),
+            updated=touched,
+            spawned=spawned,
+            died_track_id=died_track_id.astype(jnp.int32),
+            root=new_root,
+            euler=new_euler,
+            side_lens=new_side,
+            pose3d=new_pose3d,
+            pose3d_score=new_score,
+            matched_pose=jnp.where(spawned[:, None], s_match, t_match).astype(jnp.int32),
+            als_iters=als.n_iters,
+        )
+        return new_state, out
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# host-facing API
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Tracklet:
+    """Host-side reconstructed tracklet (the reference's MvTracklet record,
+    ref:src/motion_capture.py:312-400, minus live solver state)."""
+
+    track_id: int
+    frame_idxs: List[int]
+    roots: np.ndarray        # (L, 3)
+    eulers: np.ndarray       # (L, 18, 3)
+    side_lens: np.ndarray    # (L, 11)
+    poses_3d: np.ndarray     # (L, 18, 3)
+    poses_score: np.ndarray  # (L, 18)
+    matched_pose: np.ndarray  # (L, V)
+
+    def __len__(self) -> int:
+        return len(self.frame_idxs)
+
+
+class MvTracker:
+    """Streaming-mode tracker: host loop around the jitted step."""
+
+    def __init__(self, cams: CameraBank, cfg: PipelineConfig = None, use_ik: bool = True):
+        self.cfg = cfg or PipelineConfig(n_views=cams.n_views)
+        self.ctx = TrackerContext.build(cams, self.cfg, use_ik=use_ik)
+        self._step = jax.jit(make_step(self.ctx))
+        self.state = TrackerState.zeros(self.cfg)
+        self.outputs: List[FrameOutput] = []
+        self.frame_idxs: List[int] = []
+
+    def update(self, frame_idx: int, kps: np.ndarray, valid: np.ndarray) -> FrameOutput:
+        self.state, out = self._step(self.state, (jnp.asarray(kps), jnp.asarray(valid)))
+        self.outputs.append(jax.device_get(out))
+        self.frame_idxs.append(frame_idx)
+        return self.outputs[-1]
+
+    def tracklets(self) -> List[Tracklet]:
+        if not self.outputs:
+            return []
+        stacked = FrameOutput(*[np.stack([np.asarray(getattr(o, f)) for o in self.outputs])
+                                for f in FrameOutput._fields])
+        return assemble_tracklets(stacked, self.frame_idxs)
+
+
+def run_offline(
+    ctx: TrackerContext, kps: Array, valid: Array, frame_idxs: Optional[np.ndarray] = None
+) -> Tuple[TrackerState, FrameOutput]:
+    """Whole-sequence tracking as ONE device call: `lax.scan` of the step
+    over all frames (the TPU-native replacement for the reference's Python
+    while-loop, ref:src/motion_capture.py:1062-1116)."""
+    step = make_step(ctx)
+
+    @jax.jit
+    def scan_all(kps, valid):
+        state0 = TrackerState.zeros(ctx.cfg)
+        return jax.lax.scan(step, state0, (kps, valid))
+
+    return scan_all(kps, valid)
+
+
+def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
+    """Reconstruct per-track histories from stacked per-frame emissions."""
+    F, T = np.asarray(out.track_id).shape
+    if frame_idxs is None:
+        frame_idxs = list(range(F))
+    tracks = {}
+    for f in range(F):
+        for t in range(T):
+            if not bool(np.asarray(out.updated)[f, t]):
+                continue
+            tid = int(np.asarray(out.track_id)[f, t])
+            if tid < 0:
+                continue
+            rec = tracks.setdefault(tid, {
+                "frames": [], "roots": [], "eulers": [], "sides": [],
+                "poses": [], "scores": [], "matched": [],
+            })
+            rec["frames"].append(frame_idxs[f])
+            rec["roots"].append(np.asarray(out.root)[f, t])
+            rec["eulers"].append(np.asarray(out.euler)[f, t])
+            rec["sides"].append(np.asarray(out.side_lens)[f, t])
+            rec["poses"].append(np.asarray(out.pose3d)[f, t])
+            rec["scores"].append(np.asarray(out.pose3d_score)[f, t])
+            rec["matched"].append(np.asarray(out.matched_pose)[f, t])
+
+    tlets = [
+        Tracklet(
+            track_id=tid,
+            frame_idxs=rec["frames"],
+            roots=np.stack(rec["roots"]),
+            eulers=np.stack(rec["eulers"]),
+            side_lens=np.stack(rec["sides"]),
+            poses_3d=np.stack(rec["poses"]),
+            poses_score=np.stack(rec["scores"]),
+            matched_pose=np.stack(rec["matched"]),
+        )
+        for tid, rec in tracks.items()
+    ]
+    # sorted by descending length (ref:src/motion_capture.py:1120-1121)
+    return sorted(tlets, key=lambda t: -len(t))

@@ -1,0 +1,111 @@
+"""End-to-end tracker tests on synthetic sequences (identity-labelled)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multiview_motion_capture_tpu.config import PipelineConfig
+from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+from multiview_motion_capture_tpu.tracker import (
+    MvTracker,
+    TrackerContext,
+    TrackerState,
+    assemble_tracklets,
+    make_step,
+    run_offline,
+)
+
+
+CFG = PipelineConfig(n_views=4, max_people=6, max_tracks=8, max_frames=None)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic_sequence(n_frames=8, n_people=3, n_views=4, cfg=CFG, seed=1,
+                              drop_prob=0.0)
+
+
+def _track_to_person(tlet, seq):
+    """Map a tracklet to the ground-truth person via its 3D hip position."""
+    errs = []
+    for i, f in enumerate(tlet.frame_idxs):
+        hip = 0.5 * (tlet.poses_3d[i, 11 if tlet.poses_3d.shape[1] == 17 else 1] +
+                     tlet.poses_3d[i, 12 if tlet.poses_3d.shape[1] == 17 else 4])
+        d = np.linalg.norm(seq.gt_3d[f, :, 11:13, :].mean(axis=1) - hip, axis=-1)
+        errs.append(np.argmin(d))
+    vals, counts = np.unique(errs, return_counts=True)
+    return int(vals[np.argmax(counts)])
+
+
+def test_offline_triangulation_tracking(seq):
+    ctx = TrackerContext.build(seq.cameras, CFG, use_ik=False)
+    state, out = run_offline(ctx, jnp.asarray(seq.batch.kps), jnp.asarray(seq.batch.valid))
+    tlets = assemble_tracklets(jax.device_get(out))
+    # 3 people, tracked across all 8 frames (allowing first-frame bootstrap)
+    assert len(tlets) == 3
+    for t in tlets:
+        assert len(t) >= 7
+    # triangulated COCO joints close to ground truth
+    for t in tlets:
+        pid = _track_to_person(t, seq)
+        err = []
+        for i, f in enumerate(t.frame_idxs):
+            err.append(np.linalg.norm(t.poses_3d[i, :17] - seq.gt_3d[f, pid], axis=-1).mean())
+        assert np.mean(err) < 0.03, np.mean(err)
+
+
+def test_offline_ik_tracking(seq):
+    ctx = TrackerContext.build(seq.cameras, CFG, use_ik=True)
+    state, out = run_offline(ctx, jnp.asarray(seq.batch.kps), jnp.asarray(seq.batch.valid))
+    tlets = assemble_tracklets(jax.device_get(out))
+    assert len(tlets) == 3
+    skel_sel = [1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 13, 14, 15, 16, 17]  # B18 w/o root/spine/neck
+    coco_sel = [11, 13, 15, 12, 14, 16, 5, 7, 9, 6, 8, 10, 0, 3, 4]
+    for t in tlets:
+        pid = _track_to_person(t, seq)
+        errs = []
+        for i, f in enumerate(t.frame_idxs):
+            errs.append(
+                np.linalg.norm(
+                    t.poses_3d[i, skel_sel] - seq.gt_3d[f, pid][coco_sel], axis=-1
+                ).mean()
+            )
+        # IK fits an 18-joint stick skeleton to noisy 2D: a few cm is expected
+        assert np.mean(errs) < 0.06, np.mean(errs)
+
+
+def test_streaming_matches_offline(seq):
+    ctx = TrackerContext.build(seq.cameras, CFG, use_ik=False)
+    _, out = run_offline(ctx, jnp.asarray(seq.batch.kps), jnp.asarray(seq.batch.valid))
+    offline = assemble_tracklets(jax.device_get(out))
+
+    tracker = MvTracker(seq.cameras, CFG, use_ik=False)
+    for f in range(seq.batch.n_frames):
+        tracker.update(f, seq.batch.kps[f], seq.batch.valid[f])
+    streaming = tracker.tracklets()
+
+    assert len(offline) == len(streaming)
+    for a, b in zip(offline, streaming):
+        assert a.frame_idxs == b.frame_idxs
+        np.testing.assert_allclose(a.poses_3d, b.poses_3d, atol=1e-5)
+
+
+def test_tentative_track_dies_after_one_miss():
+    """max_age=0 + Tentative -> Dead on the first miss
+    (ref:src/motion_capture.py:387-391)."""
+    cfg = PipelineConfig(n_views=4, max_people=4, max_tracks=4, max_frames=None)
+    seq = synthetic_sequence(n_frames=6, n_people=1, n_views=4, cfg=cfg, seed=3,
+                             drop_prob=0.0)
+    kps = seq.batch.kps.copy()
+    valid = seq.batch.valid.copy()
+    valid[2:] = False  # person disappears after frame 1
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=False)
+    _, out = run_offline(ctx, jnp.asarray(kps), jnp.asarray(valid))
+    out = jax.device_get(out)
+    tlets = assemble_tracklets(out)
+    assert len(tlets) == 1
+    assert tlets[0].frame_idxs == [0, 1]
+    # slot freed after death
+    assert (np.asarray(out.active)[3] == 0).all()
+    died = np.asarray(out.died_track_id)
+    assert (died[2] >= 0).any()
