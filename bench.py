@@ -18,13 +18,15 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 
+    import dataclasses
+
     from multiview_motion_capture_tpu.cameras import CameraBank
-    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.config import SHELF_BENCH
     from multiview_motion_capture_tpu.data.ingest import load_openpose_dir
     from multiview_motion_capture_tpu.pipeline import run
 
     shelf = Path("/root/reference/data/shelf")
-    cfg = PipelineConfig(max_frames=300)
+    cfg = dataclasses.replace(SHELF_BENCH, max_frames=300)
     batch = load_openpose_dir(shelf / "kps_opn", cfg)
     cams = CameraBank.from_json_dir(shelf / "calibs")
 

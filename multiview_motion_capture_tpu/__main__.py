@@ -1,0 +1,156 @@
+"""CLI: prepare | run | viz | bench — the reference's argparse surface
+(ref:src/motion_capture.py:1221-1256) rebuilt over the packed-tensor
+pipeline, minus its hard-coded absolute paths.
+
+Examples:
+  python -m multiview_motion_capture_tpu prepare \
+      --kps_dir data/shelf/kps_opn --out data/shelf/frames.npz
+  python -m multiview_motion_capture_tpu run \
+      --kps_dir data/shelf/kps_opn --calib_dir data/shelf/calibs \
+      --out_dir out/ --bvh --max_frames 300
+  python -m multiview_motion_capture_tpu viz \
+      --tracklets out/tracklets.pkl --calib_dir data/shelf/calibs \
+      --out out/result.mp4
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _add_common(p):
+    p.add_argument("--max_frames", type=int, default=300,
+                   help="frame cap (reference n_test=300)")
+    p.add_argument("--max_people", type=int, default=10)
+    p.add_argument("--max_tracks", type=int, default=16)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _config(args, n_views):
+    from multiview_motion_capture_tpu.config import PipelineConfig
+
+    return PipelineConfig(
+        n_views=n_views,
+        max_frames=args.max_frames,
+        max_people=args.max_people,
+        max_tracks=args.max_tracks,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="multiview_motion_capture_tpu")
+    sub = parser.add_subparsers(dest="mode", required=True)
+
+    p_prep = sub.add_parser("prepare", help="OpenPose JSON -> packed npz")
+    p_prep.add_argument("--kps_dir", required=True)
+    p_prep.add_argument("--out", required=True)
+    _add_common(p_prep)
+
+    p_run = sub.add_parser("run", help="track + IK a sequence")
+    p_run.add_argument("--kps_dir", help="OpenPose JSON root (one dir per cam)")
+    p_run.add_argument("--frames_npz", help="packed npz from prepare")
+    p_run.add_argument("--calib_dir", required=True)
+    p_run.add_argument("--out_dir", required=True)
+    p_run.add_argument("--no_ik", action="store_true",
+                       help="triangulation pass-through instead of IK")
+    p_run.add_argument("--bvh", action="store_true", help="export BVH per track")
+    _add_common(p_run)
+
+    p_viz = sub.add_parser("viz", help="render tracklets to video")
+    p_viz.add_argument("--tracklets", required=True)
+    p_viz.add_argument("--calib_dir", required=True)
+    p_viz.add_argument("--out", required=True)
+    p_viz.add_argument("--image_dir", default=None,
+                       help="optional dir with per-cam frame images")
+    _add_common(p_viz)
+
+    p_bench = sub.add_parser("bench", help="run the driver benchmark")
+
+    args = parser.parse_args(argv)
+
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.mode == "prepare":
+        from multiview_motion_capture_tpu import pipeline
+
+        cfg = _config(args, n_views=0)
+        batch = pipeline.prepare(Path(args.kps_dir), Path(args.out), cfg,
+                                 max_frames=args.max_frames)
+        print(f"packed {batch.n_frames} frames x {batch.n_views} views -> {args.out}")
+        return 0
+
+    if args.mode == "run":
+        from multiview_motion_capture_tpu import pipeline
+        from multiview_motion_capture_tpu.cameras import CameraBank
+        from multiview_motion_capture_tpu.data.ingest import (
+            load_frame_batch,
+            load_openpose_dir,
+        )
+
+        cams = CameraBank.from_json_dir(Path(args.calib_dir))
+        cfg = _config(args, n_views=cams.n_views)
+        if args.frames_npz:
+            batch = load_frame_batch(Path(args.frames_npz))
+        elif args.kps_dir:
+            batch = load_openpose_dir(Path(args.kps_dir), cfg,
+                                      max_frames=args.max_frames)
+        else:
+            parser.error("run needs --kps_dir or --frames_npz")
+        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik)
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)
+        if args.bvh and not args.no_ik:
+            from multiview_motion_capture_tpu.utils.bvh import export_tracklet_bvh
+
+            for t in res.tracklets:
+                export_tracklet_bvh(out_dir / f"track_{t.track_id:03d}.bvh", t)
+        print(json.dumps({
+            "n_frames": res.n_frames,
+            "fps": round(res.fps, 2),
+            "n_tracklets": len(res.tracklets),
+            "top_lengths": sorted((len(t) for t in res.tracklets), reverse=True)[:5],
+            "out": str(out_dir / "tracklets.pkl"),
+        }))
+        return 0
+
+    if args.mode == "viz":
+        from multiview_motion_capture_tpu import pipeline
+        from multiview_motion_capture_tpu.cameras import CameraBank
+        from multiview_motion_capture_tpu.utils.viz import render_tracklets_video
+
+        cams = CameraBank.from_json_dir(Path(args.calib_dir))
+        tlets = pipeline.load_tracklets(Path(args.tracklets))
+        frame_images = None
+        if args.image_dir:
+            import cv2
+
+            frame_images = {}
+            root = Path(args.image_dir)
+            cam_dirs = sorted([d for d in root.iterdir() if d.is_dir()])
+            per_cam = [sorted(d.glob("*.jpg")) for d in cam_dirs]
+            n = min(len(x) for x in per_cam) if per_cam else 0
+            for f in range(n):
+                frame_images[f] = [cv2.imread(str(per_cam[v][f]))
+                                   for v in range(len(cam_dirs))]
+        out = render_tracklets_video(tlets, cams, Path(args.out),
+                                     frame_images=frame_images)
+        print(f"wrote {out}")
+        return 0
+
+    if args.mode == "bench":
+        import bench  # repo-root bench.py
+
+        bench.main()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,6 +45,10 @@ class PipelineConfig:
     als_tol: float = 1e-4
     als_max_iter: int = 1000
     als_rank_factor: int = 2   # maxRank = rank_factor * max people per group
+    # practical early exit: stop when the binarized match matrix is unchanged
+    # for this many iterations (0 = reference's residual-only test, which in
+    # practice runs all 1000 iterations; see ops/association.py)
+    als_stable_iters: int = 15
 
     # ---- triangulation (ref:src/mv_math_util.py:152-212) -------------------
     triangulate_min_score: float = 0.01
@@ -81,3 +85,15 @@ class PipelineConfig:
 
 
 SHELF = PipelineConfig()
+
+# Shelf-sized static capacities (measured: <= 6 detections/view after
+# filtering, ~4 concurrent tracks): smaller padded shapes make the
+# latency-bound association/IK kernels proportionally faster on TPU.
+# ALS capped at 100 iterations — verified output-identical to the 1000-iter
+# reference schedule on all 300 Shelf frames (see docs/PERF.md).
+SHELF_BENCH = PipelineConfig(
+    max_people=6,
+    max_tracks=8,
+    als_max_iter=100,
+    als_stable_iters=10,
+)

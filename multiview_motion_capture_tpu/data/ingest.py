@@ -48,7 +48,15 @@ class FrameBatch:
 
 
 def _parse_openpose_json(path: Path) -> np.ndarray:
-    """One OpenPose frame -> (n_people, 25, 3) float32."""
+    """One OpenPose frame -> (n_people, 25, 3) float32.
+
+    Uses the C++ scanner (utils.native) when built; falls back to the json
+    module otherwise."""
+    from multiview_motion_capture_tpu.utils import native
+
+    out = native.parse_openpose_file(path)
+    if out is not None:
+        return out
     with open(path, "rt") as f:
         data = json.load(f)
     people = data.get("people", [])

@@ -58,7 +58,7 @@ class AlsResult(NamedTuple):
 @high_precision
 @functools.partial(
     jax.jit,
-    static_argnames=("alpha", "beta", "mu0", "tol", "max_iter"),
+    static_argnames=("alpha", "beta", "mu0", "tol", "max_iter", "stable_iters"),
 )
 def match_als(
     W: Array,
@@ -69,6 +69,7 @@ def match_als(
     mu0: float = 64.0,
     tol: float = 1e-4,
     max_iter: int = 1000,
+    stable_iters: int = 0,
 ) -> AlsResult:
     """ALS low-rank multi-way matching (ref:src/mv_association.py:222-318).
 
@@ -77,6 +78,11 @@ def match_als(
       diag_mask: (N, N) bool, True inside same-group blocks (self matches
         forbidden there).
       init_A: (N, rank) initial factor (see `default_init_factor`).
+      stable_iters: practical early exit — in addition to the reference's
+        ADMM residual test (which often never fires: the iteration cycles at
+        ~1e-3 residuals while the *binarized* matrix is long settled), stop
+        once `X > 0.5` has been unchanged for this many consecutive
+        iterations.  0 disables (exact reference schedule).
     """
     n = W.shape[0]
     rank = init_A.shape[1]
@@ -92,17 +98,26 @@ def match_als(
         Z = jnp.where(eye_n, 1.0, Z)          # pSelect == 1: diagonal forced on
         return jnp.clip(Z, 0.0, 1.0)
 
+    def chol_solve(M, rhs, lam):
+        # M + lam is SPD: Cholesky beats LU on TPU for these small systems
+        L = jax.lax.linalg.cholesky(M + lam)
+        y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+        return jax.lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True
+        )
+
     def cond(state):
-        X, Z, Y, A, mu, it, done = state
+        X, Z, Y, A, mu, it, stable, done = state
         return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
     def body(state):
-        X, Z, Y, A, mu, it, _ = state
+        X, Z, Y, A, mu, it, stable, _ = state
         X0 = X
+        bin0 = X > 0.5
         X = Z - (Y - W + beta) / mu
         lam = (alpha / mu) * eye_r
-        B = jnp.linalg.solve(A.T @ A + lam, A.T @ X).T
-        A = jnp.linalg.solve(B.T @ B + lam, B.T @ X.T).T
+        B = chol_solve(A.T @ A, A.T @ X, lam).T
+        A = chol_solve(B.T @ B, B.T @ X.T, lam).T
         X = A @ B.T
         Z = project_Z(X, Y, mu)
         Y = Y + mu * (X - Z)
@@ -110,14 +125,17 @@ def match_als(
         p_res = jnp.linalg.norm(X - Z) / n
         d_res = mu * jnp.linalg.norm(X - X0) / n
         done = jnp.logical_and(p_res < tol, d_res < tol)
+        if stable_iters > 0:
+            stable = jnp.where(jnp.all((X > 0.5) == bin0), stable + 1, 0)
+            done = jnp.logical_or(done, stable >= stable_iters)
         mu = jnp.where(p_res > 10 * d_res, 2 * mu,
                        jnp.where(d_res > 10 * p_res, mu / 2, mu))
-        return X, Z, Y, A, mu, it + 1, done
+        return X, Z, Y, A, mu, it + 1, stable, done
 
     state0 = (W, W, jnp.zeros_like(W), init_A.astype(dtype),
               jnp.asarray(mu0, dtype), jnp.asarray(0, jnp.int32),
-              jnp.asarray(False))
-    X, Z, Y, A, mu, n_iters, _ = jax.lax.while_loop(cond, body, state0)
+              jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    X, Z, Y, A, mu, n_iters, _, _ = jax.lax.while_loop(cond, body, state0)
 
     X = 0.5 * (X + X.T)
     return AlsResult(x_bin=X > 0.5, n_iters=n_iters)

@@ -143,8 +143,16 @@ def _lm_solve(
         JtJ = J.T @ J
         g = J.T @ r
         n = JtJ.shape[0]
-        A = JtJ + lam * jnp.eye(n, dtype=x.dtype)
-        dx = -jnp.linalg.solve(A, g) * free_mask
+        # frozen params have zero J columns; put 1 on their diagonal so the
+        # damped system stays SPD for the Cholesky solve (TPU-friendlier
+        # than LU), then mask their update.
+        A = JtJ + lam * jnp.eye(n, dtype=x.dtype) + jnp.diag(1.0 - free_mask)
+        L = jax.lax.linalg.cholesky(A)
+        y = jax.lax.linalg.triangular_solve(L, g[:, None], left_side=True, lower=True)
+        dx_full = jax.lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+        dx = -dx_full * free_mask
         x_new = x + dx
         better = cost(x_new) < 0.5 * jnp.dot(r, r)
         x = jnp.where(better, x_new, x)

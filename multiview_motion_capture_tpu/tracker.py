@@ -294,6 +294,7 @@ def make_step(ctx: TrackerContext):
             sim, ctx.diag_mask, ctx.init_A,
             alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
             tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+            stable_iters=cfg.als_stable_iters,
         )
         groups = assoc.extract_groups(als.x_bin, elem_valid)
         rep, member = groups.rep, groups.member
