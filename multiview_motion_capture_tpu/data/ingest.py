@@ -122,6 +122,26 @@ def filter_bad_poses(batch: FrameBatch, cfg: PipelineConfig) -> FrameBatch:
     return FrameBatch(kps=batch.kps, valid=new_valid)
 
 
+def load_npy_keypoints(npy_paths, cfg: PipelineConfig,
+                       max_frames: Optional[int] = None) -> FrameBatch:
+    """Alternative ingest: one .npy per camera with (F, P_i, K, 3) keypoints
+    (the reference's `kpts_to_frames.py` input contract,
+    ref:src/kpts_to_frames.py:26-45)."""
+    arrays = [np.load(p) for p in npy_paths]
+    n_frames = min(a.shape[0] for a in arrays)
+    if max_frames is not None:
+        n_frames = min(n_frames, max_frames)
+    V, P, K = len(arrays), cfg.max_people, cfg.n_kps
+    kps = np.zeros((n_frames, V, P, K, 3), dtype=np.float32)
+    valid = np.zeros((n_frames, V, P), dtype=bool)
+    for v, a in enumerate(arrays):
+        n = min(a.shape[1], P)
+        kps[:, v, :n] = a[:n_frames, :n, :K, :3]
+        scores = a[:n_frames, :n, :, 2] if a.shape[-1] > 2 else np.ones(a.shape[:3])
+        valid[:, v, :n] = scores.max(axis=-1) > 0
+    return FrameBatch(kps=kps, valid=valid)
+
+
 def save_frame_batch(path: Path, batch: FrameBatch) -> None:
     np.savez_compressed(path, kps=batch.kps, valid=batch.valid)
 

@@ -125,42 +125,60 @@ def _lm_solve(
     lam_up: float,
     lam_down: float,
 ) -> Array:
-    """Fixed-iteration Levenberg-Marquardt over the packed parameter vector,
-    restricted to `free_mask` parameters (stage 1 freezes bone lengths)."""
+    """Levenberg-Marquardt over the packed parameter vector, restricted to
+    `free_mask` parameters (stage 1 freezes bone lengths).
+
+    Runs as a `lax.while_loop` capped at `n_iters` (the reference's
+    `max_nfev`) with a scipy-style early exit on relative cost decrease /
+    step size — TRF typically stops well before its eval budget too.
+    `jax.linearize` shares the primal FK evaluation between the residual and
+    its 68-column forward-mode jacobian."""
+
+    ftol = 1e-7
+    xtol = 1e-7
 
     def resid(x):
         return _residual(x, skel, obs, view_w, P, eps)
 
-    def cost(x):
-        r = resid(x)
-        return 0.5 * jnp.dot(r, r)
+    n = x0.shape[0]
+    eye = jnp.eye(n, dtype=x0.dtype)
+    frozen_diag = jnp.diag(1.0 - free_mask)
 
-    def step(carry, _):
-        x, lam = carry
-        r = resid(x)
-        J = jax.jacfwd(resid)(x)  # (R, 68)
+    def cond(state):
+        x, r, lam, it, done = state
+        return jnp.logical_and(it < n_iters, jnp.logical_not(done))
+
+    def body(state):
+        x, r, lam, it, _ = state
+        r_lin, jvp = jax.linearize(resid, x)
+        J = jax.vmap(jvp, in_axes=1, out_axes=1)(eye)  # (R, n)
         J = J * free_mask[None, :]
         JtJ = J.T @ J
         g = J.T @ r
-        n = JtJ.shape[0]
-        # frozen params have zero J columns; put 1 on their diagonal so the
-        # damped system stays SPD for the Cholesky solve (TPU-friendlier
-        # than LU), then mask their update.
-        A = JtJ + lam * jnp.eye(n, dtype=x.dtype) + jnp.diag(1.0 - free_mask)
+        # frozen params get a unit diagonal so the damped system stays SPD
+        A = JtJ + lam * eye + frozen_diag
         L = jax.lax.linalg.cholesky(A)
         y = jax.lax.linalg.triangular_solve(L, g[:, None], left_side=True, lower=True)
-        dx_full = jax.lax.linalg.triangular_solve(
+        dx = -jax.lax.linalg.triangular_solve(
             L, y, left_side=True, lower=True, transpose_a=True
-        )[:, 0]
-        dx = -dx_full * free_mask
+        )[:, 0] * free_mask
         x_new = x + dx
-        better = cost(x_new) < 0.5 * jnp.dot(r, r)
+        r_new = resid(x_new)
+        c_old = jnp.dot(r, r)
+        c_new = jnp.dot(r_new, r_new)
+        better = c_new < c_old
         x = jnp.where(better, x_new, x)
+        r = jnp.where(better, r_new, r)
         lam = jnp.where(better, jnp.maximum(lam * lam_down, 1e-8),
                         jnp.minimum(lam * lam_up, 1e6))
-        return (x, lam), None
+        small_gain = (c_old - c_new) <= ftol * (c_old + 1e-20)
+        small_step = jnp.max(jnp.abs(dx)) <= xtol * (1.0 + jnp.max(jnp.abs(x)))
+        done = jnp.logical_and(better, jnp.logical_or(small_gain, small_step))
+        return x, r, lam, it + 1, done
 
-    (x, _), _ = jax.lax.scan(step, (x0, jnp.asarray(lam0, x0.dtype)), None, length=n_iters)
+    state0 = (x0, resid(x0), jnp.asarray(lam0, x0.dtype),
+              jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    x, r, lam, it, _ = jax.lax.while_loop(cond, body, state0)
     return x
 
 

@@ -65,12 +65,19 @@ def run(
     cfg: Optional[PipelineConfig] = None,
     use_ik: bool = True,
     skip_first_frame: bool = False,
+    checkpoint_dir: Optional[Path] = None,
+    checkpoint_every: int = 100,
 ) -> RunResult:
     """run mode: filter detections, track + solve the whole sequence.
 
     `skip_first_frame` replicates the reference's off-by-one (frm_idx starts
     at 1, ref:src/motion_capture.py:1058-1063) for strict parity runs; the
     default processes every frame.
+
+    With `checkpoint_dir`, the scan runs in `checkpoint_every`-frame chunks,
+    persisting tracker state + emissions after each; an interrupted run
+    resumes from the last completed chunk (the reference has no mid-run
+    persistence at all, SURVEY.md §5).
     """
     cfg = cfg or PipelineConfig(n_views=batch.n_views)
     timer = StageTimer()
@@ -92,6 +99,45 @@ def run(
 
     with timer.stage("build_context"):
         ctx = TrackerContext.build(cams, cfg, use_ik=use_ik)
+
+    if checkpoint_dir is not None:
+        from multiview_motion_capture_tpu.utils import checkpoint as ckpt
+        from multiview_motion_capture_tpu.tracker import TrackerState, make_step
+
+        step = make_step(ctx)
+
+        @jax.jit
+        def scan_chunk(state, frames):
+            return jax.lax.scan(step, state, frames)
+
+        info = ckpt.resume_info(checkpoint_dir)
+        n = int(end - start)
+        n_chunks = (n + checkpoint_every - 1) // checkpoint_every
+        first_chunk = 0
+        state = TrackerState.zeros(cfg)
+        if info is not None:
+            first_chunk = info["last_chunk"] + 1
+            state = ckpt.load_state(checkpoint_dir, info["last_chunk"])
+        t0 = time.perf_counter()
+        t1 = time.perf_counter()
+        with timer.stage("compile+track"):
+            for c in range(first_chunk, n_chunks):
+                s = c * checkpoint_every
+                e = min(n, s + checkpoint_every)
+                state, outs = scan_chunk(state, (kps[s:e], valid[s:e]))
+                jax.block_until_ready(outs.pose3d)
+                ckpt.save_chunk(checkpoint_dir, c, e, state, jax.device_get(outs))
+        track_time = time.perf_counter() - t1
+        with timer.stage("assemble"):
+            host_out = ckpt.concat_outputs(ckpt.load_outputs(checkpoint_dir, n_chunks - 1))
+            tracklets = assemble_tracklets(host_out, list(frame_idxs))
+        return RunResult(
+            tracklets=tracklets,
+            n_frames=int(end - start),
+            wall_time_s=time.perf_counter() - t0,
+            track_time_s=track_time,
+            timings=timer.summary(),
+        )
 
     t0 = time.perf_counter()
     with timer.stage("compile+track"):

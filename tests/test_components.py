@@ -1,0 +1,155 @@
+"""Generic FK, bone priors, npy ingest, tools, checkpoint/resume."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiview_motion_capture_tpu.ops.fk import (
+    REF_OFFSETS,
+    REF_SIDE_BONE_LENS,
+    Skeleton,
+    forward_kinematics,
+)
+from multiview_motion_capture_tpu.ops.fk_generic import (
+    GenericSkeleton,
+    forward_kinematics_generic,
+    animate_bvh,
+)
+from multiview_motion_capture_tpu.pose_def import BASIC_18_PARENTS
+from multiview_motion_capture_tpu.models.bone_prior import (
+    fit_bone_prior,
+    bone_direction_stats,
+    prior_residual,
+)
+
+
+def test_generic_fk_matches_basic18():
+    rng = np.random.RandomState(0)
+    root = rng.uniform(-1, 1, 3).astype(np.float32)
+    euler = rng.uniform(-0.5, 0.5, (18, 3)).astype(np.float32)
+    skel = Skeleton.default()
+    ref = forward_kinematics(skel, jnp.asarray(root), jnp.asarray(euler),
+                             skel.side_bone_lens)
+    gen = GenericSkeleton.build(np.asarray(BASIC_18_PARENTS), REF_OFFSETS)
+    out = forward_kinematics_generic(gen, jnp.asarray(root), jnp.asarray(euler))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_generic_fk_rejects_bad_topology():
+    with pytest.raises(ValueError):
+        GenericSkeleton.build([0, 2, 1], np.zeros((3, 3)))
+
+
+def test_generic_fk_deep_chain():
+    # 5-joint serial chain along +x, bend each joint 90deg about z
+    parents = [0, 0, 1, 2, 3]
+    offsets = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 0], [1, 0, 0], [1, 0, 0]])
+    skel = GenericSkeleton.build(parents, offsets)
+    euler = np.zeros((5, 3), dtype=np.float32)
+    euler[1, 2] = np.pi / 2  # joint 1 rotates children about z
+    out = np.asarray(forward_kinematics_generic(
+        skel, jnp.zeros(3), jnp.asarray(euler)))
+    np.testing.assert_allclose(out[1], [1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(out[2], [1, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(out[4], [1, 3, 0], atol=1e-5)
+
+
+def test_animate_bvh_round_trip(tmp_path):
+    from multiview_motion_capture_tpu.utils import bvh
+
+    rng = np.random.RandomState(1)
+    roots = rng.uniform(-1, 1, (3, 3))
+    eulers = rng.uniform(-0.5, 0.5, (3, 18, 3))
+    path = tmp_path / "x.bvh"
+    bvh.write_bvh(path, roots, eulers, np.asarray(REF_SIDE_BONE_LENS))
+    data = bvh.read_bvh(path)
+    pos = np.asarray(animate_bvh(data)) / 100.0  # file is in cm
+    skel = Skeleton.default()
+    for f in range(3):
+        ref = np.asarray(forward_kinematics(
+            skel, jnp.asarray(roots[f], dtype=jnp.float32),
+            jnp.asarray(eulers[f], dtype=jnp.float32), skel.side_bone_lens))
+        np.testing.assert_allclose(pos[f], ref, atol=1e-3)
+
+
+def test_bone_prior_fit():
+    skel = Skeleton.default()
+    rng = np.random.RandomState(2)
+    poses = []
+    for _ in range(50):
+        e = rng.normal(0, 0.3, (18, 3)).astype(np.float32)
+        side = REF_SIDE_BONE_LENS * (1 + rng.normal(0, 0.02, 11))
+        poses.append(np.asarray(forward_kinematics(
+            skel, jnp.zeros(3), jnp.asarray(e), jnp.asarray(side, dtype=jnp.float32))))
+    prior = fit_bone_prior(np.stack(poses))
+    # recovered mean lengths close to the generating skeleton's
+    full = np.linalg.norm(REF_OFFSETS, axis=1)
+    np.testing.assert_allclose(prior.mean[1:], full[1:], rtol=0.05)
+    side_mean, side_std = prior.side_prior()
+    assert side_mean.shape == (11,) and (side_std > 0).all()
+    r = np.asarray(prior_residual(jnp.asarray(side_mean), jnp.asarray(side_mean),
+                                  jnp.asarray(side_std)))
+    np.testing.assert_allclose(r, 0.0, atol=1e-6)
+    dirs = bone_direction_stats(np.stack(poses))
+    assert dirs.shape == (18, 3)
+    np.testing.assert_allclose(np.linalg.norm(dirs[1:], axis=1), 1.0, atol=1e-5)
+
+
+def test_npy_ingest(tmp_path):
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.ingest import load_npy_keypoints
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for v in range(2):
+        a = rng.rand(4, 3, 17, 3).astype(np.float32)
+        p = tmp_path / f"cam{v}.npy"
+        np.save(p, a)
+        paths.append(p)
+    cfg = PipelineConfig(n_views=2, max_people=5)
+    b = load_npy_keypoints(paths, cfg)
+    assert b.kps.shape == (4, 2, 5, 17, 3)
+    assert b.valid[:, :, :3].all() and not b.valid[:, :, 3:].any()
+
+
+def test_checkpoint_resume(tmp_path):
+    import jax
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu import pipeline
+
+    cfg = PipelineConfig(n_views=4, max_people=6, max_tracks=8, max_frames=None)
+    seq = synthetic_sequence(n_frames=9, n_people=2, n_views=4, cfg=cfg,
+                             drop_prob=0.0, seed=4)
+    res_plain = pipeline.run(seq.batch, seq.cameras, cfg, use_ik=False)
+
+    ck = tmp_path / "ck"
+    res_ck = pipeline.run(seq.batch, seq.cameras, cfg, use_ik=False,
+                          checkpoint_dir=ck, checkpoint_every=4)
+    assert len(res_plain.tracklets) == len(res_ck.tracklets)
+    for a, b in zip(res_plain.tracklets, res_ck.tracklets):
+        assert a.frame_idxs == b.frame_idxs
+        np.testing.assert_allclose(a.poses_3d, b.poses_3d, atol=1e-5)
+
+    # resume: drop the last chunk's meta to simulate a crash mid-run
+    from multiview_motion_capture_tpu.utils import checkpoint as ckpt
+    info = ckpt.resume_info(ck)
+    assert info["last_chunk"] == 2
+    (ck / "meta.json").write_text('{"last_chunk": 0, "end_frame": 4}')
+    res_resumed = pipeline.run(seq.batch, seq.cameras, cfg, use_ik=False,
+                               checkpoint_dir=ck, checkpoint_every=4)
+    for a, b in zip(res_plain.tracklets, res_resumed.tracklets):
+        assert a.frame_idxs == b.frame_idxs
+        np.testing.assert_allclose(a.poses_3d, b.poses_3d, atol=1e-5)
+
+
+def test_tools_calib_yaml(tmp_path):
+    from multiview_motion_capture_tpu.utils.tools import convert_calib_json_to_yaml
+    import json, yaml
+
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"K": list(range(9)), "RT": list(range(12)),
+                             "imgSize": [64, 48]}))
+    out = convert_calib_json_to_yaml(p)
+    d = yaml.safe_load(out.read_text())
+    assert d["imgSize"] == [64.0, 48.0]
+    assert len(d["K"]) == 9 and len(d["RT"]) == 12
