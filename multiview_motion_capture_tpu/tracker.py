@@ -125,6 +125,8 @@ class TrackerContext:
     diag_mask: Array   # (N, N) same-group block mask for ALS
     init_A: Array      # (N, rank) seeded ALS init factor
     use_ik: bool = True
+    als_pallas_ctx: object = None  # PallasAlsContext when the fused kernel is used
+    als_interpret: bool = False
 
     @classmethod
     def build(cls, cams: CameraBank, cfg: PipelineConfig, use_ik: bool = True) -> "TrackerContext":
@@ -133,6 +135,20 @@ class TrackerContext:
         P = np.asarray(cams.P, dtype=np.float64)
         group_sizes = (cfg.max_tracks,) + (cfg.max_people,) * cfg.n_views
         n = cfg.n_matrix
+        diag_mask = assoc.block_diag_mask(group_sizes)
+        init_A = assoc.default_init_factor(n, cfg.als_max_rank)
+
+        backend = cfg.als_backend
+        pallas_ctx = None
+        interpret = False
+        if backend in ("auto", "pallas"):
+            from multiview_motion_capture_tpu.ops import als_pallas
+
+            if n <= als_pallas.TILE and (
+                backend == "pallas" or jax.default_backend() == "tpu"
+            ):
+                pallas_ctx = als_pallas.PallasAlsContext.build(n, diag_mask, init_A)
+                interpret = jax.default_backend() != "tpu"
         return cls(
             cfg=cfg,
             cams=cams,
@@ -140,9 +156,11 @@ class TrackerContext:
             F_spatial=jnp.asarray(pairwise_fundamental_np(K, Rt), dtype=jnp.float32),
             F_det=jnp.asarray(pairwise_fundamental_det_np(P), dtype=jnp.float32),
             K_inv=jnp.linalg.inv(cams.K),
-            diag_mask=jnp.asarray(assoc.block_diag_mask(group_sizes)),
-            init_A=jnp.asarray(assoc.default_init_factor(n, cfg.als_max_rank)),
+            diag_mask=jnp.asarray(diag_mask),
+            init_A=jnp.asarray(init_A),
             use_ik=use_ik,
+            als_pallas_ctx=pallas_ctx,
+            als_interpret=interpret,
         )
 
 
@@ -289,13 +307,29 @@ def make_step(ctx: TrackerContext):
         sim = jnp.where(any_alive, sim_st, sim_sp)
         elem_valid = jnp.where(any_alive, ev_st, ev_sp)
 
-        # 3. ALS + group extraction
-        als = assoc.match_als(
-            sim, ctx.diag_mask, ctx.init_A,
-            alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
-            tol=cfg.als_tol, max_iter=cfg.als_max_iter,
-            stable_iters=cfg.als_stable_iters,
-        )
+        # 3. ALS + group extraction (fused Pallas kernel on TPU, XLA loop
+        #    otherwise; identical groupings — see tests/test_als_pallas.py)
+        if ctx.als_pallas_ctx is not None:
+            from multiview_motion_capture_tpu.ops import als_pallas
+
+            pc = ctx.als_pallas_ctx
+            x_pad, als_iters = als_pallas.match_als_pallas(
+                als_pallas.pad_similarity(sim), pc.keep, pc.eye_t, pc.init_A,
+                pc.n_true,
+                alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+                tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+                stable_iters=cfg.als_stable_iters,
+                interpret=ctx.als_interpret,
+            )
+            x_bin = x_pad[:N, :N]
+            als = assoc.AlsResult(x_bin=x_bin, n_iters=als_iters)
+        else:
+            als = assoc.match_als(
+                sim, ctx.diag_mask, ctx.init_A,
+                alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+                tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+                stable_iters=cfg.als_stable_iters,
+            )
         groups = assoc.extract_groups(als.x_bin, elem_valid)
         rep, member = groups.rep, groups.member
 

@@ -1,0 +1,105 @@
+"""Fused Pallas ALS kernel vs the XLA reference implementation.
+
+Runs in interpreter mode on CPU (the driver/bench exercise the compiled TPU
+path); checks exact agreement of the binarized match matrix and of the
+downstream groupings across random problem instances.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiview_motion_capture_tpu.ops import association as A
+from multiview_motion_capture_tpu.ops import als_pallas as AP
+
+
+def _random_problem(seed, sizes=(3, 3, 2, 3), n_people=3):
+    rng = np.random.RandomState(seed)
+    groups = []
+    for s in sizes:
+        ids = rng.permutation(n_people)[:s]
+        groups.extend(ids.tolist())
+    n = len(groups)
+    cam_of = np.concatenate([[c] * s for c, s in enumerate(sizes)])
+    W = np.zeros((n, n), dtype=np.float32)
+    for i in range(n):
+        for j in range(n):
+            if i == j or cam_of[i] == cam_of[j]:
+                continue
+            base = 0.85 if groups[i] == groups[j] else 0.08
+            W[i, j] = np.clip(base + rng.uniform(-0.06, 0.06), 0, 1)
+    W = 0.5 * (W + W.T)
+    return W, groups, sizes
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_pallas_matches_xla_als(seed):
+    W, groups, sizes = _random_problem(seed)
+    n = len(groups)
+    mask = A.block_diag_mask(sizes)
+    init = A.default_init_factor(n, 8)
+
+    xla = A.match_als(jnp.asarray(W), jnp.asarray(mask), jnp.asarray(init),
+                      stable_iters=10)
+    ctx = AP.PallasAlsContext.build(n, mask, init)
+    x_pal, iters = AP.match_als_pallas(
+        AP.pad_similarity(jnp.asarray(W)), ctx.keep, ctx.eye_t, ctx.init_A,
+        ctx.n_true, stable_iters=10, interpret=True,
+    )
+    x_pal = np.asarray(x_pal)[:n, :n]
+    x_xla = np.asarray(xla.x_bin)
+
+    # groupings must agree (binarized matrices may differ on padded garbage)
+    gp = A.extract_groups(jnp.asarray(x_pal), jnp.ones(n, dtype=bool))
+    gx = A.extract_groups(jnp.asarray(x_xla), jnp.ones(n, dtype=bool))
+    np.testing.assert_array_equal(np.asarray(gp.rep), np.asarray(gx.rep))
+    np.testing.assert_array_equal(np.asarray(gp.member), np.asarray(gx.member))
+    # groups recover ground truth identity
+    rep = np.asarray(gp.rep)
+    for i in range(n):
+        for j in range(n):
+            same_cam = mask[i, j] and i != j
+            if not same_cam:
+                assert (rep[i] == rep[j]) == (groups[i] == groups[j]), (seed, i, j)
+
+
+def test_pallas_padding_stays_zero():
+    W, groups, sizes = _random_problem(7)
+    n = len(groups)
+    mask = A.block_diag_mask(sizes)
+    init = A.default_init_factor(n, 8)
+    ctx = AP.PallasAlsContext.build(n, mask, init)
+    x_pal, _ = AP.match_als_pallas(
+        AP.pad_similarity(jnp.asarray(W)), ctx.keep, ctx.eye_t, ctx.init_A,
+        ctx.n_true, stable_iters=10, interpret=True,
+    )
+    x = np.asarray(x_pal)
+    assert not x[n:, :].any()
+    assert not x[:, n:].any()
+
+
+def test_tracker_with_pallas_backend_matches_xla():
+    """Full tracker run with the fused ALS kernel (interpret mode) must
+    reproduce the XLA-backend tracklets."""
+    import dataclasses
+    import jax
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.tracker import (
+        TrackerContext, assemble_tracklets, run_offline,
+    )
+
+    cfg = PipelineConfig(n_views=4, max_people=4, max_tracks=6, max_frames=None)
+    seq = synthetic_sequence(n_frames=5, n_people=2, n_views=4, cfg=cfg,
+                             drop_prob=0.0, seed=11)
+    out = {}
+    for backend in ("xla", "pallas"):
+        c = dataclasses.replace(cfg, als_backend=backend)
+        ctx = TrackerContext.build(seq.cameras, c, use_ik=False)
+        if backend == "pallas":
+            assert ctx.als_pallas_ctx is not None
+        _, o = run_offline(ctx, jnp.asarray(seq.batch.kps), jnp.asarray(seq.batch.valid))
+        out[backend] = assemble_tracklets(jax.device_get(o))
+    assert len(out["xla"]) == len(out["pallas"]) == 2
+    for a, b in zip(out["xla"], out["pallas"]):
+        assert a.frame_idxs == b.frame_idxs
+        np.testing.assert_allclose(a.poses_3d, b.poses_3d, atol=1e-5)
