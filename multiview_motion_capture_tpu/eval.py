@@ -1,0 +1,139 @@
+"""Evaluation metrics for tracking runs.
+
+The bundled Shelf data ships no 3D ground truth (and the golden pickle uses
+different calibration — docs/DESIGN.md), so first-class metrics are:
+
+- mean/median reprojection error of tracked 3D poses against the 2D
+  detections they were matched to (per tracklet / per run),
+- coverage statistics (tracklets, lengths, frames covered),
+- MPJPE against ground truth for synthetic sequences, or between two runs
+  (e.g. TPU vs CPU backends, pallas vs xla) for consistency checks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from multiview_motion_capture_tpu.data.ingest import FrameBatch
+from multiview_motion_capture_tpu.cameras import CameraBank
+from multiview_motion_capture_tpu.tracker import (
+    B18_COCO_OBS_IDX,
+    B18_COCO_SKEL_IDX,
+    Tracklet,
+)
+
+
+@dataclasses.dataclass
+class RunMetrics:
+    n_tracklets: int
+    lengths: List[int]
+    frames_covered: int
+    mean_reproj_px: float
+    median_reproj_px: float
+    per_tracklet_reproj_px: List[float]
+
+    def as_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+def _project(P: np.ndarray, X: np.ndarray) -> np.ndarray:
+    homo = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+    uvw = homo @ P.T
+    return uvw[:, :2] / uvw[:, 2:3]
+
+
+def reprojection_metrics(
+    tracklets: List[Tracklet],
+    batch: FrameBatch,
+    cams: CameraBank,
+    min_score: float = 0.3,
+    frame_offset: int = 0,
+) -> RunMetrics:
+    """Reproject each tracked pose into the views it was matched in and
+    measure pixel distance to the matched detection's keypoints."""
+    P = np.asarray(cams.P, dtype=np.float64)
+    skel_idx = np.asarray(B18_COCO_SKEL_IDX)
+    obs_idx = np.asarray(B18_COCO_OBS_IDX)
+    all_errs: List[float] = []
+    per_tlet: List[float] = []
+    frames = set()
+    for t in tracklets:
+        errs = []
+        is_b18 = t.poses_3d.shape[1] == 18 and t.eulers is not None
+        for i, f in enumerate(t.frame_idxs):
+            frames.add(f)
+            fi = f - frame_offset
+            if fi < 0 or fi >= batch.n_frames:
+                continue
+            X = t.poses_3d[i]
+            if X.shape[0] == 18:
+                X_sel, o_idx = X[skel_idx], obs_idx
+            else:
+                X_sel, o_idx = X[:17], np.arange(17)
+            for v in range(cams.n_views):
+                p_idx = int(t.matched_pose[i, v])
+                if p_idx < 0:
+                    continue
+                det = batch.kps[fi, v, p_idx]
+                if not np.isfinite(X_sel).all():
+                    continue  # degenerate ghost-track geometry
+                uv = _project(P[v], X_sel)
+                m = (det[o_idx, 2] > min_score) & np.isfinite(uv).all(axis=-1)
+                if m.sum():
+                    errs.append(
+                        float(np.linalg.norm(uv[m] - det[o_idx][m, :2], axis=-1).mean())
+                    )
+        if errs:
+            per_tlet.append(float(np.mean(errs)))
+            all_errs.extend(errs)
+    return RunMetrics(
+        n_tracklets=len(tracklets),
+        lengths=sorted((len(t) for t in tracklets), reverse=True),
+        frames_covered=len(frames),
+        mean_reproj_px=float(np.mean(all_errs)) if all_errs else float("nan"),
+        median_reproj_px=float(np.median(all_errs)) if all_errs else float("nan"),
+        per_tracklet_reproj_px=per_tlet,
+    )
+
+
+def mpjpe_vs_ground_truth(
+    tracklets: List[Tracklet], gt_3d: np.ndarray, joint_map=None
+) -> float:
+    """MPJPE against synthetic ground truth (F, N_people, K, 3): each
+    tracklet is matched to the nearest GT person per frame."""
+    errs = []
+    for t in tracklets:
+        for i, f in enumerate(t.frame_idxs):
+            X = t.poses_3d[i]
+            if joint_map is not None:
+                skel_sel, gt_sel = joint_map
+                X = X[skel_sel]
+                G = gt_3d[f][:, gt_sel]
+            else:
+                G = gt_3d[f][:, : X.shape[0]]
+            d = np.linalg.norm(G - X[None], axis=-1).mean(axis=-1)
+            errs.append(d.min())
+    return float(np.mean(errs)) if errs else float("nan")
+
+
+def run_consistency_mpjpe(a: List[Tracklet], b: List[Tracklet]) -> float:
+    """Mean joint distance between two runs over matched (by overlap)
+    tracklet pairs — backend-consistency metric."""
+    errs = []
+    for ta in a:
+        fa = {f: i for i, f in enumerate(ta.frame_idxs)}
+        best = None
+        for tb in b:
+            common = [(fa[f], j) for j, f in enumerate(tb.frame_idxs) if f in fa]
+            if len(common) < 2:
+                continue
+            ia, ib = zip(*common)
+            d = float(np.linalg.norm(ta.poses_3d[list(ia)] - tb.poses_3d[list(ib)],
+                                     axis=-1).mean())
+            if best is None or d < best:
+                best = d
+        if best is not None:
+            errs.append(best)
+    return float(np.mean(errs)) if errs else float("nan")

@@ -134,8 +134,10 @@ def _lm_solve(
     `jax.linearize` shares the primal FK evaluation between the residual and
     its 68-column forward-mode jacobian."""
 
-    ftol = 1e-7
-    xtol = 1e-7
+    # f32 roundoff puts a ~1e-7 floor on achievable relative cost decrease;
+    # tighter tolerances just burn the full iteration budget without moving x
+    ftol = 2e-6
+    xtol = 1e-6
 
     def resid(x):
         return _residual(x, skel, obs, view_w, P, eps)
@@ -155,8 +157,12 @@ def _lm_solve(
         J = J * free_mask[None, :]
         JtJ = J.T @ J
         g = J.T @ r
-        # frozen params get a unit diagonal so the damped system stays SPD
-        A = JtJ + lam * eye + frozen_diag
+        # frozen params get a unit diagonal so the damped system stays SPD.
+        # Leaf-joint rotations never move an observed joint, so JtJ has
+        # exactly-zero columns: a trace-proportional ridge keeps the f32
+        # Cholesky finite even when lam has annealed to its floor.
+        ridge = 1e-6 * (jnp.trace(JtJ) / n) + 1e-6
+        A = JtJ + (lam + ridge) * eye + frozen_diag
         L = jax.lax.linalg.cholesky(A)
         y = jax.lax.linalg.triangular_solve(L, g[:, None], left_side=True, lower=True)
         dx = -jax.lax.linalg.triangular_solve(
@@ -166,10 +172,10 @@ def _lm_solve(
         r_new = resid(x_new)
         c_old = jnp.dot(r, r)
         c_new = jnp.dot(r_new, r_new)
-        better = c_new < c_old
+        better = jnp.logical_and(c_new < c_old, jnp.isfinite(c_new))
         x = jnp.where(better, x_new, x)
         r = jnp.where(better, r_new, r)
-        lam = jnp.where(better, jnp.maximum(lam * lam_down, 1e-8),
+        lam = jnp.where(better, jnp.maximum(lam * lam_down, 1e-6),
                         jnp.minimum(lam * lam_up, 1e6))
         small_gain = (c_old - c_new) <= ftol * (c_old + 1e-20)
         small_step = jnp.max(jnp.abs(dx)) <= xtol * (1.0 + jnp.max(jnp.abs(x)))

@@ -1,0 +1,80 @@
+"""Whole-sequence batched IK: every (tracklet, frame) solved at once.
+
+The reference (and this framework's streaming mode) chains IK frame-by-frame
+with warm starts (ref:src/motion_capture.py:361-368), which serializes ~300
+solver runs.  Offline, the chain is unnecessary: association can run on
+triangulated poses (the reference's own `use_only_reproj=False` fallback
+triangulates for matching anyway), and the IK refinement for every tracked
+(slot, frame) pair is an *independent* cold solve — so all of them vmap into
+ONE two-stage LM solve.  On TPU the extra batch width is nearly free; the
+sequential depth drops from (frames x iters) to (iters).
+
+Inits follow the reference's cold start (ref:src/inverse_kinematics.py:
+389-397): zero angles, hip-midpoint root from the triangulated pose,
+reference side bone lengths.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_motion_capture_tpu.ops import ik as ik_ops
+from multiview_motion_capture_tpu.ops.fk import Skeleton
+from multiview_motion_capture_tpu.pose_def import KpsFormat, KpsType, kps_index
+
+Array = jnp.ndarray
+
+_COCO_IDX = kps_index(KpsFormat.COCO)
+_LHIP, _RHIP = _COCO_IDX[KpsType.L_Hip], _COCO_IDX[KpsType.R_Hip]
+
+
+def solve_sequence_batch(
+    skel: Skeleton,
+    kps: Array,           # (F, V, P, K, 3) detections
+    matched_pose: Array,  # (F, T, V) int32 detection index per view (-1 none)
+    solve_mask: Array,    # (F, T) bool — (frame, slot) pairs to solve
+    tri_pose: Array,      # (F, T, 18, 3) triangulated COCO+spine poses (init)
+    P: Array,             # (V, 3, 4)
+    n_iters: int = 50,
+    eps: float = 1e-5,
+    lam0: float = 1e-3,
+    lam_up: float = 10.0,
+    lam_down: float = 0.33,
+) -> Tuple[ik_ops.IkParams, Array]:
+    """Returns (params, joints) with leading dims (F, T)."""
+    F, T, V = matched_pose.shape
+    K = kps.shape[3]
+
+    safe = jnp.maximum(matched_pose, 0)  # (F, T, V)
+    obs = jnp.take_along_axis(
+        kps[:, None, :, :, :, :],            # (F, 1, V, P, K, 3)
+        safe[:, :, :, None, None, None],
+        axis=3,
+    )[:, :, :, 0]                            # (F, T, V, K, 3)
+    w = ((matched_pose >= 0) & solve_mask[:, :, None]).astype(kps.dtype)
+    obs = obs * w[..., None, None]
+
+    tri_pose = jnp.clip(jnp.nan_to_num(tri_pose), -100.0, 100.0)
+    roots = 0.5 * (tri_pose[..., _LHIP, :] + tri_pose[..., _RHIP, :])  # (F, T, 3)
+
+    B = F * T
+    init = ik_ops.IkParams(
+        root=roots.reshape(B, 3),
+        euler=jnp.zeros((B, 18, 3), dtype=kps.dtype),
+        side_lens=jnp.broadcast_to(skel.side_bone_lens, (B, 11)),
+    )
+    params, joints = ik_ops.solve_two_stage(
+        init, skel, obs.reshape(B, V, K, 3), w.reshape(B, V), P,
+        n_iters=n_iters, eps=eps, lam0=lam0, lam_up=lam_up, lam_down=lam_down,
+    )
+    return (
+        ik_ops.IkParams(
+            root=params.root.reshape(F, T, 3),
+            euler=params.euler.reshape(F, T, 18, 3),
+            side_lens=params.side_lens.reshape(F, T, 11),
+        ),
+        joints.reshape(F, T, 18, 3),
+    )

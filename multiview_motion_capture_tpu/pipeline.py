@@ -67,6 +67,7 @@ def run(
     skip_first_frame: bool = False,
     checkpoint_dir: Optional[Path] = None,
     checkpoint_every: int = 100,
+    two_pass: bool = False,
 ) -> RunResult:
     """run mode: filter detections, track + solve the whole sequence.
 
@@ -78,7 +79,14 @@ def run(
     persisting tracker state + emissions after each; an interrupted run
     resumes from the last completed chunk (the reference has no mid-run
     persistence at all, SURVEY.md §5).
+
+    `two_pass=True` (offline fast path): pass 1 tracks with triangulated
+    poses; pass 2 IK-solves every (tracklet, frame) pair in ONE batched LM
+    call (ops/ik_batch.py) — the sequential depth drops from frames x iters
+    to iters.
     """
+    if two_pass and use_ik:
+        return _run_two_pass(batch, cams, cfg, skip_first_frame)
     cfg = cfg or PipelineConfig(n_views=batch.n_views)
     timer = StageTimer()
 
@@ -153,6 +161,72 @@ def run(
     with timer.stage("assemble"):
         host_out = jax.device_get(outputs)
         tracklets = assemble_tracklets(host_out, list(frame_idxs))
+
+    return RunResult(
+        tracklets=tracklets,
+        n_frames=int(end - start),
+        wall_time_s=time.perf_counter() - t0,
+        track_time_s=track_time,
+        timings=timer.summary(),
+    )
+
+
+def _run_two_pass(
+    batch: FrameBatch,
+    cams: CameraBank,
+    cfg: Optional[PipelineConfig],
+    skip_first_frame: bool,
+) -> RunResult:
+    """Offline fast path: triangulation tracking + one batched IK solve."""
+    import dataclasses as _dc
+
+    from multiview_motion_capture_tpu.ops.fk import Skeleton
+    from multiview_motion_capture_tpu.ops.ik_batch import solve_sequence_batch
+
+    cfg = cfg or PipelineConfig(n_views=batch.n_views)
+    timer = StageTimer()
+    with timer.stage("filter"):
+        batch = filter_bad_poses(batch, cfg)
+
+    start = 1 if skip_first_frame else 0
+    end = min(batch.n_frames, start + cfg.max_frames) if cfg.max_frames else batch.n_frames
+    kps = jnp.asarray(batch.kps[start:end])
+    valid = jnp.asarray(batch.valid[start:end])
+    frame_idxs = np.arange(batch.n_frames)[start:end]
+
+    with timer.stage("build_context"):
+        ctx = TrackerContext.build(cams, cfg, use_ik=False)
+        skel = Skeleton.default()
+
+    def _pass2(out):
+        params, joints = solve_sequence_batch(
+            skel, kps, out.matched_pose, out.updated, out.pose3d, ctx.cams.P,
+            n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
+            lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
+            lam_down=cfg.ik_lm_damping_down,
+        )
+        return out._replace(
+            root=params.root,
+            euler=params.euler,
+            side_lens=params.side_lens,
+            pose3d=joints,
+            pose3d_score=jnp.ones_like(out.pose3d_score),
+        )
+
+    t0 = time.perf_counter()
+    with timer.stage("compile+track"):
+        state, out = run_offline(ctx, kps, valid)
+        out_ik = _pass2(out)
+        jax.block_until_ready(out_ik.pose3d)
+    with timer.stage("track"):
+        t1 = time.perf_counter()
+        state, out = run_offline(ctx, kps, valid)
+        out_ik = _pass2(out)
+        jax.block_until_ready(out_ik.pose3d)
+        track_time = time.perf_counter() - t1
+
+    with timer.stage("assemble"):
+        tracklets = assemble_tracklets(jax.device_get(out_ik), list(frame_idxs))
 
     return RunResult(
         tracklets=tracklets,

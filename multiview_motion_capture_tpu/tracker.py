@@ -413,10 +413,11 @@ def make_step(ctx: TrackerContext):
                 ctx.cams.P, ctx.K_inv, obs18, w_t > 0,
                 cfg.triangulate_min_score, cfg.triangulate_refine_iters,
             )  # (18, 4)
+            # degenerate 2-view matches can triangulate near infinity; keep
+            # the IK init finite and inside a sane capture volume
+            tri = jnp.clip(jnp.nan_to_num(tri), -100.0, 100.0)
             root = 0.5 * (tri[_LHIP, :3] + tri[_RHIP, :3])
             return tri, root
-
-        tri_all, cold_roots = jax.vmap(cold_init)(new_obs, new_w)
 
         if ctx.use_ik:
             any_update = jnp.any(update_mask)
@@ -432,6 +433,9 @@ def make_step(ctx: TrackerContext):
                 )
 
             def run_cold(_):
+                # cold-start triangulation lives inside the cond: it only
+                # costs anything on the (rare) spawn frames
+                _, cold_roots = jax.vmap(cold_init)(new_obs, new_w)
                 init = ik_ops.IkParams(
                     root=cold_roots,
                     euler=jnp.zeros((T, 18, 3), dtype=kps.dtype),
@@ -473,6 +477,7 @@ def make_step(ctx: TrackerContext):
                 )
 
             tri_upd = jax.vmap(tri_update)(upd_obs, upd_w)
+            tri_all, _ = jax.vmap(cold_init)(new_obs, new_w)
             sel_u, sel_s = update_mask, spawned
             new_pose3d = jnp.where(
                 sel_s[:, None, None], tri_all[..., :3],
@@ -578,20 +583,36 @@ class MvTracker:
         return assemble_tracklets(stacked, self.frame_idxs)
 
 
+_SCAN_CACHE: dict = {}
+
+
+def _scan_fn(ctx: TrackerContext):
+    """Per-context cached jitted whole-sequence scan: rebuilding the closure
+    per call would force a full retrace/lowering every time (measured ~3s of
+    host time per 300-frame run against 1.4s of device time)."""
+    key = id(ctx)
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        step = make_step(ctx)
+
+        @jax.jit
+        def scan_all(kps, valid):
+            state0 = TrackerState.zeros(ctx.cfg)
+            return jax.lax.scan(step, state0, (kps, valid))
+
+        _SCAN_CACHE[key] = fn = scan_all
+        if len(_SCAN_CACHE) > 64:  # bound growth across many contexts
+            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+    return fn
+
+
 def run_offline(
     ctx: TrackerContext, kps: Array, valid: Array, frame_idxs: Optional[np.ndarray] = None
 ) -> Tuple[TrackerState, FrameOutput]:
     """Whole-sequence tracking as ONE device call: `lax.scan` of the step
     over all frames (the TPU-native replacement for the reference's Python
     while-loop, ref:src/motion_capture.py:1062-1116)."""
-    step = make_step(ctx)
-
-    @jax.jit
-    def scan_all(kps, valid):
-        state0 = TrackerState.zeros(ctx.cfg)
-        return jax.lax.scan(step, state0, (kps, valid))
-
-    return scan_all(kps, valid)
+    return _scan_fn(ctx)(kps, valid)
 
 
 def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
