@@ -48,6 +48,14 @@ class KpsType(enum.IntEnum):
     R_SmallToe = 23
     L_Heel = 24
     R_Heel = 25
+    # SMPL-X body joints (ref:src/pose_def.py:140-163)
+    LowerBack = 26
+    UpperBack = 27
+    Chest = 28
+    LowerNeck = 29
+    UpperNeck = 30
+    L_Clavicle = 31
+    R_Clavicle = 32
 
 
 class KpsFormat(enum.Enum):
@@ -55,6 +63,7 @@ class KpsFormat(enum.Enum):
     OPENPOSE_25 = "openpose_25"
     BASIC_18 = "basic_18"
     COCO_SPINE = "coco_spine"
+    SMPLX_22 = "smplx_22"
 
 
 T = KpsType
@@ -103,11 +112,37 @@ _BASIC_18_PARENT_TYPES: Dict[KpsType, KpsType] = {
 # (ref:src/inverse_kinematics.py:370-378).
 COCO_SPINE_ORDER: Tuple[KpsType, ...] = COCO_ORDER + (T.Spine,)
 
+# SMPL-X 22-joint body (the AMASS/SMPL-X experiment format,
+# ref:src/pose_def.py:140-163).
+SMPLX_22_ORDER: Tuple[KpsType, ...] = (
+    T.Mid_Hip, T.L_Hip, T.R_Hip, T.LowerBack,
+    T.L_Knee, T.R_Knee, T.UpperBack, T.L_Ankle, T.R_Ankle,
+    T.Chest, T.L_BigToe, T.R_BigToe, T.LowerNeck,
+    T.L_Clavicle, T.R_Clavicle, T.UpperNeck,
+    T.L_Shoulder, T.R_Shoulder, T.L_Elbow, T.R_Elbow,
+    T.L_Wrist, T.R_Wrist,
+)
+
+SMPLX_22_BONES: Tuple[Tuple[KpsType, KpsType], ...] = (
+    (T.Mid_Hip, T.L_Hip), (T.Mid_Hip, T.R_Hip),
+    (T.Mid_Hip, T.LowerBack), (T.LowerBack, T.UpperBack),
+    (T.L_Hip, T.L_Knee), (T.R_Hip, T.R_Knee),
+    (T.L_Knee, T.L_Ankle), (T.R_Knee, T.R_Ankle),
+    (T.UpperBack, T.Chest),
+    (T.L_Ankle, T.L_BigToe), (T.R_Ankle, T.R_BigToe),
+    (T.Chest, T.LowerNeck), (T.LowerNeck, T.UpperNeck),
+    (T.Chest, T.R_Clavicle), (T.R_Clavicle, T.R_Shoulder),
+    (T.R_Shoulder, T.R_Elbow), (T.R_Elbow, T.R_Wrist),
+    (T.Chest, T.L_Clavicle), (T.L_Clavicle, T.L_Shoulder),
+    (T.L_Shoulder, T.L_Elbow), (T.L_Elbow, T.L_Wrist),
+)
+
 _ORDERS: Dict[KpsFormat, Tuple[KpsType, ...]] = {
     KpsFormat.COCO: COCO_ORDER,
     KpsFormat.OPENPOSE_25: OPENPOSE_25_ORDER,
     KpsFormat.BASIC_18: BASIC_18_ORDER,
     KpsFormat.COCO_SPINE: COCO_SPINE_ORDER,
+    KpsFormat.SMPLX_22: SMPLX_22_ORDER,
 }
 
 
