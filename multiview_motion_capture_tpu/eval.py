@@ -112,7 +112,9 @@ def mpjpe_vs_ground_truth(
                 X = X[skel_sel]
                 G = gt_3d[f][:, gt_sel]
             else:
-                G = gt_3d[f][:, : X.shape[0]]
+                k = min(X.shape[0], gt_3d.shape[2])
+                X = X[:k]
+                G = gt_3d[f][:, :k]
             d = np.linalg.norm(G - X[None], axis=-1).mean(axis=-1)
             errs.append(d.min())
     return float(np.mean(errs)) if errs else float("nan")

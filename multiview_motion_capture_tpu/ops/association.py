@@ -160,6 +160,61 @@ class MatchGroups(NamedTuple):
     member: Array       # (N,) bool  — element belongs to a group of size >= 2
 
 
+def associate_frame(kps, valid, cams, cfg=None):
+    """Standalone single-frame cross-view association (the reference's
+    `match_multiview_poses`, ref:src/mv_association.py:414-457): spatial
+    epipolar affinity -> ALS -> groups of (view, detection) pairs.
+
+    kps: (V, P, K, 3) numpy/jax; valid: (V, P) bool.
+    Returns List[List[(view, det)]] for groups with >= 2 members.
+    """
+    import numpy as np
+
+    from multiview_motion_capture_tpu.cameras import pairwise_fundamental_np
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.ops.geometry import (
+        projected_distance_all_pairs,
+    )
+
+    V, P = kps.shape[0], kps.shape[1]
+    cfg = cfg or PipelineConfig(n_views=V, max_people=P)
+    F = jnp.asarray(
+        pairwise_fundamental_np(np.asarray(cams.K, dtype=np.float64),
+                                np.asarray(cams.Rt, dtype=np.float64)),
+        dtype=jnp.float32,
+    )
+    d = projected_distance_all_pairs(jnp.asarray(kps), F)  # (V,P,V,P)
+    same_view = jnp.eye(V, dtype=bool)[:, None, :, None]
+    d = jnp.where(same_view, cfg.spatial_fill_distance, d)
+    dst = d.reshape(V * P, V * P)
+    dst = jnp.where(jnp.eye(V * P, dtype=bool), 0.0, dst)
+    dv = jnp.asarray(valid).reshape(-1)
+    both = dv[:, None] & dv[None, :]
+    cnt = jnp.maximum(both.sum(), 1)
+    mean = jnp.sum(jnp.where(both, dst, 0.0)) / cnt
+    var = jnp.sum(jnp.where(both, (dst - mean) ** 2, 0.0)) / cnt
+    sim = jnp.where(
+        both,
+        jax.nn.sigmoid(-cfg.affinity_sigmoid_scale * (dst - mean)
+                       / jnp.maximum(jnp.sqrt(var), 1e-6)),
+        0.0,
+    )
+    sizes = (P,) * V
+    res = match_als(sim, jnp.asarray(block_diag_mask(sizes)),
+                    jnp.asarray(default_init_factor(V * P, cfg.als_max_rank)),
+                    alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+                    tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+                    stable_iters=cfg.als_stable_iters)
+    g = extract_groups(res.x_bin, dv)
+    rep = np.asarray(g.rep)
+    member = np.asarray(g.member)
+    groups = {}
+    for e in range(V * P):
+        if member[e]:
+            groups.setdefault(int(rep[e]), []).append((e // P, e % P))
+    return [v for _, v in sorted(groups.items()) if len(v) >= 2]
+
+
 def extract_groups(x_bin: Array, elem_valid: Array) -> MatchGroups:
     """Equivalence-class extraction from a binarized match matrix
     (semantics of ref:src/mv_association.py:112-121 +

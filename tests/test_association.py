@@ -107,3 +107,20 @@ def test_als_padded_rows_stay_single():
     assert member[0] and member[3] and rep[3] == 0
     assert member[1] and member[4] and rep[4] == 1
     assert not member[2] and not member[5]
+
+
+def test_associate_frame_standalone():
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.ops.association import associate_frame
+
+    cfg = PipelineConfig(n_views=4, max_people=5)
+    seq = synthetic_sequence(n_frames=1, n_people=3, n_views=4, cfg=cfg,
+                             drop_prob=0.0, seed=8)
+    groups = associate_frame(seq.batch.kps[0], seq.batch.valid[0],
+                             seq.cameras, cfg)
+    full = [g for g in groups if len(g) == 4]
+    assert len(full) == 3
+    for g in full:
+        pids = {seq.gt_slot_person[0, v, p] for v, p in g}
+        assert len(pids) == 1
