@@ -290,7 +290,6 @@ def make_step(ctx: TrackerContext):
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
     N = cfg.n_matrix
     skel = ctx.skel
-    obs_sel_cold = None  # placeholder for clarity
 
     def step(state: TrackerState, frame) -> Tuple[TrackerState, FrameOutput]:
         kps, det_valid = frame  # (V, P, K, 3), (V, P)

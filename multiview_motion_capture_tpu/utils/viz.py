@@ -136,7 +136,27 @@ def render_tracklets_video(
     V = len(P)
     tracklets = tracklets[:max_tracklets]
     frames = sorted({f for t in tracklets for f in t.frame_idxs})
-    writer = imageio.get_writer(str(out_path), fps=fps)
+    # fall back to a directory of numbered JPEGs when no video encoder
+    # (ffmpeg / imageio-ffmpeg) exists in the environment
+    try:
+        writer = imageio.get_writer(str(out_path), fps=fps)
+    except Exception:
+        frame_dir = Path(out_path).with_suffix("")
+        frame_dir.mkdir(parents=True, exist_ok=True)
+
+        class _DirWriter:
+            def __init__(self):
+                self.i = 0
+
+            def append_data(self, rgb):
+                imageio.imwrite(frame_dir / f"{self.i:06d}.jpg", rgb)
+                self.i += 1
+
+            def close(self):
+                pass
+
+        writer = _DirWriter()
+        out_path = frame_dir
     w, h = img_wh
     scale = thumb_w / w
     thumb_h = int(h * scale)
