@@ -112,6 +112,81 @@ def side_to_full_bone_lens(side_lens: Array) -> Array:
     return side_lens[..., SIDE_TO_FULL]
 
 
+def euler_axis_matrices(euler: Array):
+    """Per-axis rotation matrices and their angle derivatives.
+
+    Returns (Rx, Ry, Rz, dRx, dRy, dRz), each (..., 3, 3), such that the
+    local rotation is R = Rx @ Ry @ Rz and dR/d(angle_i) substitutes the
+    corresponding derivative matrix.  Used by the analytic IK jacobian.
+    """
+    c = jnp.cos(euler)
+    s = jnp.sin(euler)
+    z = jnp.zeros_like(euler[..., 0])
+    o = jnp.ones_like(z)
+
+    def m(rows):
+        return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+    cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+    sx, sy, sz = s[..., 0], s[..., 1], s[..., 2]
+    Rx = m([[o, z, z], [z, cx, -sx], [z, sx, cx]])
+    Ry = m([[cy, z, sy], [z, o, z], [-sy, z, cy]])
+    Rz = m([[cz, -sz, z], [sz, cz, z], [z, z, o]])
+    dRx = m([[z, z, z], [z, -sx, -cx], [z, cx, -sx]])
+    dRy = m([[-sy, z, cy], [z, z, z], [-cy, z, -sy]])
+    dRz = m([[-sz, -cz, z], [cz, -sz, z], [z, z, z]])
+    return Rx, Ry, Rz, dRx, dRy, dRz
+
+
+def _ancestor_masks(parents: np.ndarray):
+    """(ANC, ANC_SELF): ANC[j, k] = j is a proper ancestor of k;
+    ANC_SELF includes j == k."""
+    J = len(parents)
+    anc = np.zeros((J, J), dtype=np.float32)
+    for k in range(1, J):
+        j = parents[k]
+        while True:
+            anc[j, k] = 1.0
+            if j == 0:
+                break
+            j = parents[j]
+    anc_self = anc + np.eye(J, dtype=np.float32)
+    return anc, anc_self
+
+
+ANC_MASK, ANC_SELF_MASK = _ancestor_masks(np.asarray(BASIC_18_PARENTS))
+# one-hot (18, 11): bone j draws its length from side entry SIDE_TO_FULL[j]
+SIDE_ONE_HOT = np.zeros((N_JOINTS, N_SIDE_BONES), dtype=np.float32)
+for _j in range(1, N_JOINTS):
+    SIDE_ONE_HOT[_j, SIDE_TO_FULL[_j]] = 1.0
+
+
+def forward_kinematics_full(
+    skel: Skeleton, root: Array, euler: Array, side_lens: Array
+):
+    """FK that also returns the global frames needed by the analytic
+    jacobian: (joints (..., 18, 3), g_R (..., 18, 3, 3), R_local, offsets)."""
+    Rx, Ry, Rz, _, _, _ = euler_axis_matrices(euler)
+    R_local = jnp.einsum("...ab,...bc,...cd->...ad", Rx, Ry, Rz)
+    offsets = skel.bone_dirs * side_to_full_bone_lens(side_lens)[..., None]
+
+    g_R = jnp.broadcast_to(jnp.eye(3, dtype=R_local.dtype), R_local.shape)
+    g_R = g_R.at[..., 0, :, :].set(R_local[..., 0, :, :])
+    g_t = jnp.zeros(euler.shape[:-1] + (3,), dtype=R_local.dtype)
+    g_t = g_t.at[..., 0, :].set(root)
+
+    parents = np.asarray(BASIC_18_PARENTS)
+    for level in _LEVELS:
+        par = parents[level]
+        pR = g_R[..., par, :, :]
+        pt = g_t[..., par, :]
+        new_R = jnp.einsum("...ab,...bc->...ac", pR, R_local[..., level, :, :])
+        new_t = jnp.einsum("...ab,...b->...a", pR, offsets[..., level, :]) + pt
+        g_R = g_R.at[..., level, :, :].set(new_R)
+        g_t = g_t.at[..., level, :].set(new_t)
+    return g_t, g_R, (Rx, Ry, Rz), offsets
+
+
 @high_precision
 def forward_kinematics(
     skel: Skeleton, root: Array, euler: Array, side_lens: Array

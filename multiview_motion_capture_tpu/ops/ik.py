@@ -31,11 +31,17 @@ import numpy as np
 from multiview_motion_capture_tpu.utils.precision import high_precision
 
 from multiview_motion_capture_tpu.ops.fk import (
+    ANC_MASK,
+    ANC_SELF_MASK,
     N_JOINTS,
     N_SIDE_BONES,
+    SIDE_ONE_HOT,
     Skeleton,
+    euler_axis_matrices,
     forward_kinematics,
+    forward_kinematics_full,
 )
+from multiview_motion_capture_tpu.pose_def import BASIC_18_PARENTS
 from multiview_motion_capture_tpu.pose_def import (
     IK_OBS_KPS_IDX,
     IK_SKEL_KPS_IDX,
@@ -112,6 +118,79 @@ def _residual(
     return diff.reshape(-1)
 
 
+def _residual_and_jacobian(
+    x: Array, skel: Skeleton, obs: Array, view_w: Array, P: Array, eps: float
+):
+    """Residual AND its analytic jacobian in one pass.
+
+    The FK jacobian has closed form (standard kinematic chain rule):
+      d pos_k / d root      = I,
+      d pos_k / d angle_ja  = [j proper ancestor of k] *
+                              g_R[parent(j)] @ dR_j/da @ g_R[j]^T (pos_k - t_j),
+      d pos_k / d side_s    = sum_b [b ancestor-or-self of k][side(b)=s] *
+                              g_R[parent(b)] @ dir_b,
+    followed by the pinhole projection jacobian.  A handful of einsums over
+    (18, 18, 3) tensors replaces 68 forward-mode tangent passes — fewer,
+    larger ops, which is exactly what the TPU wants.
+
+    Returns (r (V*16*2,), J (V*16*2, 68)).
+    """
+    p = IkParams.unpack(x)
+    joints, g_R, (Rx, Ry, Rz), offsets = forward_kinematics_full(
+        skel, p.root, p.euler, p.side_lens
+    )
+    parents = np.asarray(BASIC_18_PARENTS)
+    eye3 = jnp.eye(3, dtype=x.dtype)
+    # parent frames (root's parent frame = identity)
+    g_Rp = g_R[parents]
+    g_Rp = g_Rp.at[0].set(eye3)
+
+    # local-rotation derivative matrices per angle
+    _, _, _, dRx, dRy, dRz = euler_axis_matrices(p.euler)
+    dR = jnp.stack(
+        [
+            jnp.einsum("jab,jbc,jcd->jad", dRx, Ry, Rz),
+            jnp.einsum("jab,jbc,jcd->jad", Rx, dRy, Rz),
+            jnp.einsum("jab,jbc,jcd->jad", Rx, Ry, dRz),
+        ],
+        axis=1,
+    )  # (18, 3angles, 3, 3)
+    D = jnp.einsum("jab,jnbc->jnac", g_Rp, dR)  # (18, 3, 3, 3)
+
+    # u[j, k] = g_R[j]^T (pos_k - t_j)
+    diff = joints[None, :, :] - joints[:, None, :]  # t_j == joints[j]
+    u = jnp.einsum("jba,jkb->jka", g_R, diff)  # (18, 18, 3)
+
+    anc = jnp.asarray(ANC_MASK, dtype=x.dtype)
+    d_angle = jnp.einsum("jnax,jkx,jk->kjna", D, u, anc)  # (k, j, angle, 3)
+    d_angle = d_angle.reshape(N_JOINTS, N_JOINTS * 3, 3)  # (k, 54, xyz)
+
+    C = jnp.einsum("jab,jb->ja", g_Rp, skel.bone_dirs)  # (18, 3)
+    d_side = jnp.einsum(
+        "bk,bs,ba->ksa", jnp.asarray(ANC_SELF_MASK, dtype=x.dtype),
+        jnp.asarray(SIDE_ONE_HOT, dtype=x.dtype), C,
+    )  # (k, 11, xyz)
+
+    d_root = jnp.broadcast_to(eye3[None], (N_JOINTS, 3, 3))  # (k, 3params, xyz)
+    dX = jnp.concatenate([d_root, d_angle, d_side], axis=1)  # (18, 68, 3)
+    dX_sel = dX[_SKEL_SEL]  # (16, 68, 3)
+
+    # projection + residual
+    sel = joints[_SKEL_SEL]
+    homo = jnp.concatenate([sel, jnp.ones_like(sel[:, :1])], axis=-1)
+    proj = jnp.einsum("vab,kb->vka", P, homo)  # (V, 16, 3)
+    wq = eps + proj[..., 2:3]
+    uv = proj[..., :2] / wq
+    tgt = obs[:, _OBS_SEL, :]
+    score = tgt[..., 2:3] * view_w[:, None, None]  # (V, 16, 1)
+    r = ((uv - tgt[..., :2]) * score).reshape(-1)
+
+    # duv/dX = (P[:2,:3] - uv x P[2,:3]) / w   (V, 16, 2, 3)
+    duv = (P[:, None, :2, :3] - uv[..., None] * P[:, None, None, 2, :3]) / wq[..., None]
+    J = jnp.einsum("vkix,kpx->vkip", duv, dX_sel) * score[..., None]
+    return r, J.reshape(-1, N_PARAMS)
+
+
 def _lm_solve(
     x0: Array,
     skel: Skeleton,
@@ -152,8 +231,7 @@ def _lm_solve(
 
     def body(state):
         x, r, lam, it, _ = state
-        r_lin, jvp = jax.linearize(resid, x)
-        J = jax.vmap(jvp, in_axes=1, out_axes=1)(eye)  # (R, n)
+        _, J = _residual_and_jacobian(x, skel, obs, view_w, P, eps)
         J = J * free_mask[None, :]
         JtJ = J.T @ J
         g = J.T @ r

@@ -187,3 +187,33 @@ def test_ik_view_mask_ignores_bad_camera():
     err = np.linalg.norm(np.asarray(joints[0])[np.asarray(IK._SKEL_SEL)]
                          - gt_joints[np.asarray(IK._SKEL_SEL)], axis=-1)
     assert err.max() < 0.02
+
+
+def test_analytic_jacobian_matches_jacfwd():
+    """The closed-form FK/projection jacobian must equal forward-mode AD."""
+    import jax
+    from multiview_motion_capture_tpu.ops.ik import (
+        _residual, _residual_and_jacobian, IkParams,
+    )
+    from multiview_motion_capture_tpu.ops.fk import Skeleton, REF_SIDE_BONE_LENS
+
+    cams = synthetic_camera_ring(4)
+    skel = Skeleton.default()
+    rng = np.random.RandomState(7)
+    x = np.concatenate([
+        rng.uniform(-1, 1, 3),
+        rng.uniform(-0.6, 0.6, 54),
+        np.asarray(REF_SIDE_BONE_LENS) * rng.uniform(0.9, 1.1, 11),
+    ]).astype(np.float32)
+    obs = rng.uniform(0, 1, (4, 18, 3)).astype(np.float32)
+    obs[..., :2] *= 400
+    vw = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+
+    x = jnp.asarray(x)
+    r_ref = _residual(x, skel, jnp.asarray(obs), vw, cams.P, 1e-5)
+    J_ref = jax.jacfwd(lambda xx: _residual(xx, skel, jnp.asarray(obs), vw, cams.P, 1e-5))(x)
+    r, J = _residual_and_jacobian(x, skel, jnp.asarray(obs), vw, cams.P, 1e-5)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-3)
+    scale = np.abs(np.asarray(J_ref)).max()
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                               atol=2e-3 * scale)
