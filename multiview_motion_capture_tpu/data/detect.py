@@ -32,9 +32,13 @@ Array = jnp.ndarray
 
 
 def make_detector(model_cfg: Optional[PoseNetConfig] = None, params=None,
-                  rng=None):
+                  rng=None, temperature: float = 0.05):
     """Build (detect_fn, params): detect_fn(params, crops) -> (N, K, 3)
-    keypoints in *crop pixel* coordinates with confidence scores."""
+    keypoints in *crop pixel* coordinates with confidence scores.
+
+    `temperature` sharpens the soft-argmax: MSE-trained heatmaps peak near
+    1.0, so the softmax needs a low temperature to localize (0.05 ~ a x20
+    logit scale)."""
     model_cfg = model_cfg or PoseNetConfig()
     model = PoseNet(model_cfg)
     if params is None:
@@ -45,7 +49,7 @@ def make_detector(model_cfg: Optional[PoseNetConfig] = None, params=None,
     @jax.jit
     def detect(params, crops):
         heat = model.apply({"params": params}, crops)
-        kps = decode_heatmaps(heat)  # heatmap pixels (stride 4)
+        kps = decode_heatmaps(heat, temperature=temperature)  # heatmap px
         xy = kps[..., :2] * 4.0
         return jnp.concatenate([xy, kps[..., 2:3]], axis=-1)
 

@@ -112,6 +112,20 @@ def side_to_full_bone_lens(side_lens: Array) -> Array:
     return side_lens[..., SIDE_TO_FULL]
 
 
+def mm3(a: Array, b: Array) -> Array:
+    """Batched 3x3 @ 3x3 as VPU multiply-sum.
+
+    Tiny matmuls are wasted on the MXU, and expressing them as dots triggers
+    an XLA TPU algebraic-simplifier CHECK-fail when the batch ranks grow
+    (seen under vmap: transpose/dot layout mismatch on f32[B,L,3,3])."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def mv3(a: Array, v: Array) -> Array:
+    """Batched 3x3 @ 3-vector as VPU multiply-sum."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
 def euler_axis_matrices(euler: Array):
     """Per-axis rotation matrices and their angle derivatives.
 
@@ -167,7 +181,7 @@ def forward_kinematics_full(
     """FK that also returns the global frames needed by the analytic
     jacobian: (joints (..., 18, 3), g_R (..., 18, 3, 3), R_local, offsets)."""
     Rx, Ry, Rz, _, _, _ = euler_axis_matrices(euler)
-    R_local = jnp.einsum("...ab,...bc,...cd->...ad", Rx, Ry, Rz)
+    R_local = mm3(mm3(Rx, Ry), Rz)
     offsets = skel.bone_dirs * side_to_full_bone_lens(side_lens)[..., None]
 
     g_R = jnp.broadcast_to(jnp.eye(3, dtype=R_local.dtype), R_local.shape)
@@ -180,8 +194,8 @@ def forward_kinematics_full(
         par = parents[level]
         pR = g_R[..., par, :, :]
         pt = g_t[..., par, :]
-        new_R = jnp.einsum("...ab,...bc->...ac", pR, R_local[..., level, :, :])
-        new_t = jnp.einsum("...ab,...b->...a", pR, offsets[..., level, :]) + pt
+        new_R = mm3(pR, R_local[..., level, :, :])
+        new_t = mv3(pR, offsets[..., level, :]) + pt
         g_R = g_R.at[..., level, :, :].set(new_R)
         g_t = g_t.at[..., level, :].set(new_t)
     return g_t, g_R, (Rx, Ry, Rz), offsets
@@ -216,8 +230,8 @@ def forward_kinematics(
         pt = g_t[..., par, :]
         lR = R_local[..., level, :, :]
         off = offsets[..., level, :]
-        new_R = jnp.einsum("...ab,...bc->...ac", pR, lR)
-        new_t = jnp.einsum("...ab,...b->...a", pR, off) + pt
+        new_R = mm3(pR, lR)
+        new_t = mv3(pR, off) + pt
         g_R = g_R.at[..., level, :, :].set(new_R)
         g_t = g_t.at[..., level, :].set(new_t)
 

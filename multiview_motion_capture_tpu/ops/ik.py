@@ -40,6 +40,8 @@ from multiview_motion_capture_tpu.ops.fk import (
     euler_axis_matrices,
     forward_kinematics,
     forward_kinematics_full,
+    mm3,
+    mv3,
 )
 from multiview_motion_capture_tpu.pose_def import BASIC_18_PARENTS
 from multiview_motion_capture_tpu.pose_def import (
@@ -149,23 +151,24 @@ def _residual_and_jacobian(
     _, _, _, dRx, dRy, dRz = euler_axis_matrices(p.euler)
     dR = jnp.stack(
         [
-            jnp.einsum("jab,jbc,jcd->jad", dRx, Ry, Rz),
-            jnp.einsum("jab,jbc,jcd->jad", Rx, dRy, Rz),
-            jnp.einsum("jab,jbc,jcd->jad", Rx, Ry, dRz),
+            mm3(mm3(dRx, Ry), Rz),
+            mm3(mm3(Rx, dRy), Rz),
+            mm3(mm3(Rx, Ry), dRz),
         ],
         axis=1,
     )  # (18, 3angles, 3, 3)
-    D = jnp.einsum("jab,jnbc->jnac", g_Rp, dR)  # (18, 3, 3, 3)
+    D = mm3(g_Rp[:, None], dR)  # (18, 3, 3, 3)
 
     # u[j, k] = g_R[j]^T (pos_k - t_j)
     diff = joints[None, :, :] - joints[:, None, :]  # t_j == joints[j]
-    u = jnp.einsum("jba,jkb->jka", g_R, diff)  # (18, 18, 3)
+    u = mv3(jnp.swapaxes(g_R, -1, -2)[:, None], diff)  # (18, 18, 3)
 
     anc = jnp.asarray(ANC_MASK, dtype=x.dtype)
+    # d_angle[k, j, n, a] = sum_x D[j, n, a, x] u[j, k, x] * anc[j, k]
     d_angle = jnp.einsum("jnax,jkx,jk->kjna", D, u, anc)  # (k, j, angle, 3)
     d_angle = d_angle.reshape(N_JOINTS, N_JOINTS * 3, 3)  # (k, 54, xyz)
 
-    C = jnp.einsum("jab,jb->ja", g_Rp, skel.bone_dirs)  # (18, 3)
+    C = mv3(g_Rp, skel.bone_dirs)  # (18, 3)
     d_side = jnp.einsum(
         "bk,bs,ba->ksa", jnp.asarray(ANC_SELF_MASK, dtype=x.dtype),
         jnp.asarray(SIDE_ONE_HOT, dtype=x.dtype), C,

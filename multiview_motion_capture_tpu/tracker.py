@@ -614,6 +614,38 @@ def run_offline(
     return _scan_fn(ctx)(kps, valid)
 
 
+def run_offline_batched(
+    ctx: TrackerContext, kps: Array, valid: Array
+) -> Tuple[TrackerState, FrameOutput]:
+    """Track B independent sequences concurrently: `lax.scan` over frames of
+    the *vmapped* step — a serving-throughput mode with no reference
+    analogue.
+
+    NOTE on cost: under vmap, `lax.cond` lowers to `select`, so the cold
+    (50-iteration) IK solver body executes every frame for the whole batch
+    and the association while-loops run to the max iteration count across
+    the batch.  On a single chip the per-sequence scan (`run_offline`) is
+    faster; this mode exists for correctness-preserving batch semantics
+    (e.g. feeding a multi-host pipeline where sequences map to devices).
+
+    kps: (B, F, V, P, K, 3); valid: (B, F, V, P).
+    Returns (states (B, ...), outputs with leading (F, B, ...))."""
+    key = ("batched", id(ctx))
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        step = jax.vmap(make_step(ctx))
+
+        @jax.jit
+        def scan_all(kps, valid):
+            B = kps.shape[0]
+            state0 = jax.vmap(lambda _: TrackerState.zeros(ctx.cfg))(jnp.arange(B))
+            frames = (jnp.swapaxes(kps, 0, 1), jnp.swapaxes(valid, 0, 1))
+            return jax.lax.scan(step, state0, frames)
+
+        _SCAN_CACHE[key] = fn = scan_all
+    return fn(kps, valid)
+
+
 def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
     """Reconstruct per-track histories from stacked per-frame emissions."""
     F, T = np.asarray(out.track_id).shape

@@ -109,3 +109,30 @@ def test_tentative_track_dies_after_one_miss():
     assert (np.asarray(out.active)[3] == 0).all()
     died = np.asarray(out.died_track_id)
     assert (died[2] >= 0).any()
+
+
+def test_batched_multi_sequence_matches_single(seq):
+    """Serving mode: B sequences through one vmapped scan == per-sequence."""
+    import dataclasses
+    from multiview_motion_capture_tpu.tracker import (
+        FrameOutput,
+        run_offline_batched,
+    )
+
+    cfg = dataclasses.replace(CFG, als_backend="xla")
+    seq2 = synthetic_sequence(n_frames=8, n_people=2, n_views=4, cfg=cfg,
+                              seed=21, drop_prob=0.0)
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=False)
+    kps = jnp.stack([jnp.asarray(seq.batch.kps), jnp.asarray(seq2.batch.kps)])
+    valid = jnp.stack([jnp.asarray(seq.batch.valid), jnp.asarray(seq2.batch.valid)])
+    _, outs = run_offline_batched(ctx, kps, valid)
+    outs = jax.device_get(outs)
+    for b, s in enumerate((seq, seq2)):
+        _, single = run_offline(ctx, jnp.asarray(s.batch.kps), jnp.asarray(s.batch.valid))
+        a = assemble_tracklets(jax.device_get(single))
+        c = assemble_tracklets(FrameOutput(
+            *[np.asarray(getattr(outs, f))[:, b] for f in FrameOutput._fields]))
+        assert len(a) == len(c)
+        for x, y in zip(a, c):
+            assert x.frame_idxs == y.frame_idxs
+            np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-5)
