@@ -13,8 +13,7 @@ case of pre-cropped person images per view.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

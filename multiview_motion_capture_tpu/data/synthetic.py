@@ -9,7 +9,6 @@ association/triangulation accuracy tests.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 

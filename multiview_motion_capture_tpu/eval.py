@@ -12,7 +12,7 @@ different calibration — docs/DESIGN.md), so first-class metrics are:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

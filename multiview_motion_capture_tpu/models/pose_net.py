@@ -16,7 +16,7 @@ training at all): `train_step` is a full optax training step that
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

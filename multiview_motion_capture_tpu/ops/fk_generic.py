@@ -8,7 +8,7 @@ the tree depth; joints within a level batch into one gathered matmul.
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ Re-designs ref:src/mv_math_util.py:152-240 for TPU:
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
