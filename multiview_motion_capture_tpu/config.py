@@ -68,6 +68,10 @@ class PipelineConfig:
     ik_lm_damping_init: float = 1e-3
     ik_lm_damping_up: float = 10.0
     ik_lm_damping_down: float = 0.33
+    # warm-start solves: 2 = reference's pose-then-bone-lengths schedule,
+    # 1 = single all-parameter stage (same optimum, half the solver cost;
+    # cold starts always use 2 stages)
+    ik_warm_stages: int = 2
 
     # ---- run-mode driver (ref:src/motion_capture.py:1058-1060) -------------
     max_frames: Optional[int] = 300
@@ -99,4 +103,5 @@ SHELF_BENCH = PipelineConfig(
     max_tracks=8,
     als_max_iter=100,
     als_stable_iters=10,
+    ik_warm_stages=1,
 )

@@ -275,7 +275,8 @@ _FREE_ALL = np.ones(N_PARAMS, dtype=np.float32)
 
 
 @high_precision
-@functools.partial(jax.jit, static_argnames=("n_iters", "eps", "lam0", "lam_up", "lam_down"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "eps", "lam0", "lam_up",
+                                             "lam_down", "stages"))
 def solve_two_stage(
     init: IkParams,
     skel: Skeleton,
@@ -287,6 +288,7 @@ def solve_two_stage(
     lam0: float = 1e-3,
     lam_up: float = 10.0,
     lam_down: float = 0.33,
+    stages: int = 2,
 ) -> Tuple[IkParams, Array]:
     """The reference's solve(): pose-only then pose+bone-lengths
     (ref:src/inverse_kinematics.py:402-407), batched over a leading tracklet
@@ -299,6 +301,11 @@ def solve_two_stage(
       view_w: (T, V) weights, 0 for cameras not part of the match.
       P: (V, 3, 4) projection matrices.
       n_iters: LM iterations per stage (50 cold / 5 warm; ref:397-400).
+      stages: 2 = the reference's pose-only-then-pose+bone-lengths schedule
+        (required for cold starts: zero-init angles need the staged warmup);
+        1 = a single all-parameter solve — for warm starts the staging is
+        just an optimization schedule, and one full stage reaches the same
+        optimum at half the cost (quality-verified in docs/PERF.md).
     Returns:
       (params, joints): refined parameters and FK joint positions (T, 18, 3).
     """
@@ -307,6 +314,9 @@ def solve_two_stage(
     free_all = jnp.asarray(_FREE_ALL)
 
     def solve_one(x0, obs_t, w_t):
+        if stages == 1:
+            return _lm_solve(x0, skel, obs_t, w_t, P, free_all, n_iters, eps,
+                             lam0, lam_up, lam_down)
         x1 = _lm_solve(x0, skel, obs_t, w_t, P, free_pose, n_iters, eps, lam0, lam_up, lam_down)
         x2 = _lm_solve(x1, skel, obs_t, w_t, P, free_all, n_iters, eps, lam0, lam_up, lam_down)
         return x2

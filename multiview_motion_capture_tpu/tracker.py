@@ -429,6 +429,7 @@ def make_step(ctx: TrackerContext):
                     n_iters=cfg.ik_warm_iters, eps=cfg.ik_proj_eps,
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
                     lam_down=cfg.ik_lm_damping_down,
+                    stages=cfg.ik_warm_stages,
                 )
 
             def run_cold(_):

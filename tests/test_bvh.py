@@ -39,3 +39,30 @@ def test_bvh_static_header(tmp_path):
     assert "CHANNELS 6 Xposition Yposition Zposition Xrotation Yrotation Zrotation" in text
     assert text.count("End Site") == 6  # ankles, wrists, ears are the leaves
     assert "MOTION" in text
+
+
+def test_bvh_export_replays_tracked_motion(tmp_path):
+    """Exported BVH, re-read and FK-replayed, reproduces the tracked joint
+    positions (up to the writer's static-skeleton bone-length averaging)."""
+    import jax
+    import jax.numpy as jnp
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.ops.fk_generic import animate_bvh
+    from multiview_motion_capture_tpu.tracker import (
+        TrackerContext, assemble_tracklets, run_offline,
+    )
+
+    cfg = PipelineConfig(n_views=4, max_people=4, max_tracks=6, max_frames=None)
+    seq = synthetic_sequence(n_frames=6, n_people=1, n_views=4, cfg=cfg,
+                             drop_prob=0.0, seed=13)
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=True)
+    _, out = run_offline(ctx, jnp.asarray(seq.batch.kps), jnp.asarray(seq.batch.valid))
+    t = assemble_tracklets(jax.device_get(out))[0]
+
+    path = tmp_path / "track.bvh"
+    bvh.export_tracklet_bvh(path, t)
+    data = bvh.read_bvh(path)
+    pos = np.asarray(animate_bvh(data)) / 100.0  # cm -> m
+    err = np.linalg.norm(pos - t.poses_3d, axis=-1)
+    assert err.mean() < 0.02, err.mean()  # bone lengths averaged over frames
