@@ -33,6 +33,10 @@ def main() -> None:
     res = run(batch, cams, cfg, use_ik=True)
     fps = res.fps
 
+    from multiview_motion_capture_tpu.eval import reprojection_metrics
+
+    m = reprojection_metrics(res.tracklets, batch, cams)
+
     print(
         json.dumps(
             {
@@ -43,6 +47,9 @@ def main() -> None:
                 "extra": {
                     "n_frames": res.n_frames,
                     "n_tracklets": len(res.tracklets),
+                    "top_track_lengths": m.lengths[:5],
+                    "reproj_px_mean": round(m.mean_reproj_px, 2),
+                    "reproj_px_median": round(m.median_reproj_px, 2),
                     "track_time_s": round(res.track_time_s, 4),
                     "compile_s": round(
                         res.timings.get("compile+track", 0.0) - res.track_time_s, 2
