@@ -178,8 +178,6 @@ def _run_two_pass(
     skip_first_frame: bool,
 ) -> RunResult:
     """Offline fast path: triangulation tracking + one batched IK solve."""
-    import dataclasses as _dc
-
     from multiview_motion_capture_tpu.ops.fk import Skeleton
     from multiview_motion_capture_tpu.ops.ik_batch import solve_sequence_batch
 
