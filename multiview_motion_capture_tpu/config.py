@@ -72,6 +72,9 @@ class PipelineConfig:
     # 1 = single all-parameter stage (same optimum, half the solver cost;
     # cold starts always use 2 stages)
     ik_warm_stages: int = 2
+    # LM linear solver: "chol" (batched Cholesky via vmap) or "gj" (fused
+    # Pallas Gauss-Jordan over all slots in one kernel)
+    ik_solver: str = "chol"
 
     # ---- run-mode driver (ref:src/motion_capture.py:1058-1060) -------------
     max_frames: Optional[int] = 300
@@ -104,4 +107,5 @@ SHELF_BENCH = PipelineConfig(
     als_max_iter=100,
     als_stable_iters=10,
     ik_warm_stages=1,
+    ik_solver="gj",
 )

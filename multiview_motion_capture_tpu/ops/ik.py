@@ -269,6 +269,73 @@ def _lm_solve(
     return x
 
 
+def _lm_solve_batched(
+    x0: Array,        # (T, 68)
+    skel: Skeleton,
+    obs: Array,       # (T, V, 18, 3)
+    view_w: Array,    # (T, V)
+    P: Array,
+    free_mask: Array,
+    n_iters: int,
+    eps: float,
+    lam0: float,
+    lam_up: float,
+    lam_down: float,
+    interpret: bool = False,
+) -> Array:
+    """Batched LM over all T slots at once, solving every slot's damped
+    normal equations in ONE fused Pallas Gauss-Jordan kernel
+    (ops/solve_pallas.py) instead of T vmapped Cholesky factorizations.
+    Per-slot convergence freezes that slot; the loop runs while any slot is
+    active (same semantics as the vmapped per-slot while)."""
+    from multiview_motion_capture_tpu.ops.solve_pallas import batched_spd_solve
+
+    ftol = 2e-6
+    xtol = 1e-6
+    T, n = x0.shape
+    eye = jnp.eye(n, dtype=x0.dtype)
+    frozen_diag = jnp.diag(1.0 - free_mask)
+
+    rj = jax.vmap(_residual_and_jacobian, in_axes=(0, None, 0, 0, None, None))
+    resid_b = jax.vmap(_residual, in_axes=(0, None, 0, 0, None, None))
+
+    def cond(state):
+        x, r, lam, active, it = state
+        return jnp.logical_and(it < n_iters, jnp.any(active))
+
+    def body(state):
+        x, r, lam, active, it = state
+        _, J = rj(x, skel, obs, view_w, P, eps)
+        J = J * free_mask[None, None, :]
+        JtJ = jnp.einsum("trd,tre->tde", J, J)
+        g = jnp.einsum("trd,tr->td", J, r)
+        ridge = 1e-6 * (jnp.trace(JtJ, axis1=1, axis2=2) / n) + 1e-6
+        A = JtJ + (lam + ridge)[:, None, None] * eye + frozen_diag[None]
+        dx = -batched_spd_solve(A, g, interpret=interpret) * free_mask[None, :]
+        x_new = x + dx
+        r_new = resid_b(x_new, skel, obs, view_w, P, eps)
+        c_old = jnp.sum(r * r, axis=1)
+        c_new = jnp.sum(r_new * r_new, axis=1)
+        better = jnp.logical_and(c_new < c_old, jnp.isfinite(c_new)) & active
+        x = jnp.where(better[:, None], x_new, x)
+        r = jnp.where(better[:, None], r_new, r)
+        lam = jnp.where(active,
+                        jnp.where(better, jnp.maximum(lam * lam_down, 1e-6),
+                                  jnp.minimum(lam * lam_up, 1e6)),
+                        lam)
+        small_gain = (c_old - c_new) <= ftol * (c_old + 1e-20)
+        small_step = jnp.max(jnp.abs(dx), axis=1) <= xtol * (1.0 + jnp.max(jnp.abs(x), axis=1))
+        converged = jnp.logical_and(better, jnp.logical_or(small_gain, small_step))
+        active = active & ~converged
+        return x, r, lam, active, it + 1
+
+    state0 = (x0, resid_b(x0, skel, obs, view_w, P, eps),
+              jnp.full((T,), lam0, x0.dtype), jnp.ones((T,), bool),
+              jnp.asarray(0, jnp.int32))
+    x, r, lam, active, it = jax.lax.while_loop(cond, body, state0)
+    return x
+
+
 _FREE_POSE = np.zeros(N_PARAMS, dtype=np.float32)
 _FREE_POSE[: 3 + N_JOINTS * 3] = 1.0
 _FREE_ALL = np.ones(N_PARAMS, dtype=np.float32)
@@ -276,7 +343,8 @@ _FREE_ALL = np.ones(N_PARAMS, dtype=np.float32)
 
 @high_precision
 @functools.partial(jax.jit, static_argnames=("n_iters", "eps", "lam0", "lam_up",
-                                             "lam_down", "stages"))
+                                             "lam_down", "stages", "solver",
+                                             "interpret"))
 def solve_two_stage(
     init: IkParams,
     skel: Skeleton,
@@ -289,6 +357,8 @@ def solve_two_stage(
     lam_up: float = 10.0,
     lam_down: float = 0.33,
     stages: int = 2,
+    solver: str = "chol",
+    interpret: bool = False,
 ) -> Tuple[IkParams, Array]:
     """The reference's solve(): pose-only then pose+bone-lengths
     (ref:src/inverse_kinematics.py:402-407), batched over a leading tracklet
@@ -312,17 +382,30 @@ def solve_two_stage(
     obs = add_mid_spine(obs_coco)  # (T, V, 18, 3)
     free_pose = jnp.asarray(_FREE_POSE)
     free_all = jnp.asarray(_FREE_ALL)
-
-    def solve_one(x0, obs_t, w_t):
-        if stages == 1:
-            return _lm_solve(x0, skel, obs_t, w_t, P, free_all, n_iters, eps,
-                             lam0, lam_up, lam_down)
-        x1 = _lm_solve(x0, skel, obs_t, w_t, P, free_pose, n_iters, eps, lam0, lam_up, lam_down)
-        x2 = _lm_solve(x1, skel, obs_t, w_t, P, free_all, n_iters, eps, lam0, lam_up, lam_down)
-        return x2
-
     x0 = init.pack()
-    x = jax.vmap(solve_one)(x0, obs, view_w)
+
+    if solver == "gj":
+        # batched LM with the fused Pallas Gauss-Jordan normal-equation solve
+        def stage(x, mask):
+            return _lm_solve_batched(x, skel, obs, view_w, P, mask, n_iters,
+                                     eps, lam0, lam_up, lam_down,
+                                     interpret=interpret)
+
+        if stages == 1:
+            x = stage(x0, free_all)
+        else:
+            x = stage(stage(x0, free_pose), free_all)
+    else:
+        def solve_one(x0_t, obs_t, w_t):
+            if stages == 1:
+                return _lm_solve(x0_t, skel, obs_t, w_t, P, free_all, n_iters,
+                                 eps, lam0, lam_up, lam_down)
+            x1 = _lm_solve(x0_t, skel, obs_t, w_t, P, free_pose, n_iters, eps,
+                           lam0, lam_up, lam_down)
+            return _lm_solve(x1, skel, obs_t, w_t, P, free_all, n_iters, eps,
+                             lam0, lam_up, lam_down)
+
+        x = jax.vmap(solve_one)(x0, obs, view_w)
     params = IkParams.unpack(x)
     joints = forward_kinematics(skel, params.root, params.euler, params.side_lens)
     return params, joints

@@ -140,7 +140,8 @@ class TrackerContext:
 
         backend = cfg.als_backend
         pallas_ctx = None
-        interpret = False
+        # pallas kernels run compiled on TPU, interpreted elsewhere (tests)
+        interpret = jax.default_backend() != "tpu"
         if backend in ("auto", "pallas"):
             from multiview_motion_capture_tpu.ops import als_pallas
 
@@ -148,7 +149,6 @@ class TrackerContext:
                 backend == "pallas" or jax.default_backend() == "tpu"
             ):
                 pallas_ctx = als_pallas.PallasAlsContext.build(n, diag_mask, init_A)
-                interpret = jax.default_backend() != "tpu"
         return cls(
             cfg=cfg,
             cams=cams,
@@ -430,6 +430,7 @@ def make_step(ctx: TrackerContext):
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
                     lam_down=cfg.ik_lm_damping_down,
                     stages=cfg.ik_warm_stages,
+                    solver=cfg.ik_solver, interpret=ctx.als_interpret,
                 )
 
             def run_cold(_):
@@ -446,6 +447,7 @@ def make_step(ctx: TrackerContext):
                     n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
                     lam_down=cfg.ik_lm_damping_down,
+                    solver=cfg.ik_solver, interpret=ctx.als_interpret,
                 )
 
             def skip(_):

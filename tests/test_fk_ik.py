@@ -217,3 +217,43 @@ def test_analytic_jacobian_matches_jacfwd():
     scale = np.abs(np.asarray(J_ref)).max()
     np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
                                atol=2e-3 * scale)
+
+
+def test_gj_solver_matches_cholesky_path():
+    """solve_two_stage(solver='gj') == solver='chol' on the same problem."""
+    cams = synthetic_camera_ring(4)
+    skel = FK.Skeleton.default()
+    rng = np.random.RandomState(5)
+    T, V = 4, 4
+    gt_root = np.array([0.0, 0.0, 0.95])
+    gt_euler = np.zeros((18, 3)); gt_euler[0] = [np.pi / 2, 0, 0]
+    gt_side = np.asarray(FK.REF_SIDE_BONE_LENS)
+    gt_joints = np.asarray(FK.forward_kinematics(
+        skel, jnp.asarray(gt_root, dtype=jnp.float32),
+        jnp.asarray(gt_euler, dtype=jnp.float32),
+        jnp.asarray(gt_side, dtype=jnp.float32)))
+    P = np.asarray(cams.P, dtype=np.float64)
+    obs = np.zeros((T, V, 17, 3), dtype=np.float32)
+    for v in range(V):
+        homo = np.concatenate([gt_joints, np.ones((18, 1))], 1)
+        uv = (homo @ P[v].T); uv = uv[:, :2] / uv[:, 2:3]
+        for s_i, o_i in zip(np.asarray(IK._SKEL_SEL), np.asarray(IK._OBS_SEL)):
+            if o_i < 17:
+                obs[:, v, o_i, :2] = uv[s_i]
+                obs[:, v, o_i, 2] = 1.0
+    init = IK.IkParams(
+        root=jnp.asarray(np.tile(gt_root + 0.08, (T, 1)), dtype=jnp.float32),
+        euler=jnp.asarray(np.tile(gt_euler[None], (T, 1, 1)) +
+                          rng.normal(0, 0.05, (T, 18, 3)), dtype=jnp.float32),
+        side_lens=jnp.asarray(np.tile(gt_side, (T, 1)), dtype=jnp.float32),
+    )
+    vw = jnp.ones((T, V))
+    _, j_chol = IK.solve_two_stage(init, skel, jnp.asarray(obs), vw, cams.P,
+                                   n_iters=15, solver="chol")
+    _, j_gj = IK.solve_two_stage(init, skel, jnp.asarray(obs), vw, cams.P,
+                                 n_iters=15, solver="gj", interpret=True)
+    sel = np.asarray(IK._SKEL_SEL)
+    for t in range(T):
+        err_c = np.linalg.norm(np.asarray(j_chol[t])[sel] - gt_joints[sel], axis=-1).max()
+        err_g = np.linalg.norm(np.asarray(j_gj[t])[sel] - gt_joints[sel], axis=-1).max()
+        assert err_c < 0.02 and err_g < 0.02, (t, err_c, err_g)
