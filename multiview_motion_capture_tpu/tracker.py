@@ -585,16 +585,31 @@ class MvTracker:
         return assemble_tracklets(stacked, self.frame_idxs)
 
 
+# id(ctx) -> (ctx, fn).  The strong reference to ctx in the value is what
+# makes the id() key safe: while an entry lives, its context cannot be
+# garbage-collected, so no *different* context can be allocated at the same
+# address.  The identity check on retrieval guards the eviction race (an
+# entry evicted and its address reused between calls).
 _SCAN_CACHE: dict = {}
+
+
+def _cached_scan(key, ctx: TrackerContext, build):
+    entry = _SCAN_CACHE.get(key)
+    if entry is not None and entry[0] is ctx:
+        return entry[1]
+    fn = build()
+    _SCAN_CACHE[key] = (ctx, fn)
+    if len(_SCAN_CACHE) > 64:  # bound growth across many contexts
+        _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+    return fn
 
 
 def _scan_fn(ctx: TrackerContext):
     """Per-context cached jitted whole-sequence scan: rebuilding the closure
     per call would force a full retrace/lowering every time (measured ~3s of
     host time per 300-frame run against 1.4s of device time)."""
-    key = id(ctx)
-    fn = _SCAN_CACHE.get(key)
-    if fn is None:
+
+    def build():
         step = make_step(ctx)
 
         @jax.jit
@@ -602,10 +617,9 @@ def _scan_fn(ctx: TrackerContext):
             state0 = TrackerState.zeros(ctx.cfg)
             return jax.lax.scan(step, state0, (kps, valid))
 
-        _SCAN_CACHE[key] = fn = scan_all
-        if len(_SCAN_CACHE) > 64:  # bound growth across many contexts
-            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
-    return fn
+        return scan_all
+
+    return _cached_scan(id(ctx), ctx, build)
 
 
 def run_offline(
@@ -633,9 +647,8 @@ def run_offline_batched(
 
     kps: (B, F, V, P, K, 3); valid: (B, F, V, P).
     Returns (states (B, ...), outputs with leading (F, B, ...))."""
-    key = ("batched", id(ctx))
-    fn = _SCAN_CACHE.get(key)
-    if fn is None:
+
+    def build():
         step = jax.vmap(make_step(ctx))
 
         @jax.jit
@@ -645,8 +658,9 @@ def run_offline_batched(
             frames = (jnp.swapaxes(kps, 0, 1), jnp.swapaxes(valid, 0, 1))
             return jax.lax.scan(step, state0, frames)
 
-        _SCAN_CACHE[key] = fn = scan_all
-    return fn(kps, valid)
+        return scan_all
+
+    return _cached_scan(("batched", id(ctx)), ctx, build)(kps, valid)
 
 
 def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
