@@ -100,3 +100,33 @@ def test_ik_tracking_parity(shelf):
     # different optimizers (batched LM vs scipy TRF) on the same residuals:
     # 3D MPJPE parity within a few centimeters
     assert max(errs) < 0.05, errs
+
+
+def test_frame_131_window(shelf_data_dir):
+    """Regression for the reference's documented frame-131 failure
+    (ref:README.md:55-56, debug hook ref:src/motion_capture.py:880-881: one
+    subject lost at frame 131). The rebuild must hold all 3 Shelf subjects
+    continuously through the window — both the TPU tracker and the oracle do
+    (full study: docs/PARITY.md)."""
+    lo, hi = 100, 151
+    cfg = PipelineConfig(max_frames=hi)
+    batch = load_openpose_dir(shelf_data_dir / "kps_opn", cfg, max_frames=hi)
+    batch = filter_bad_poses(batch, cfg)
+    kps = batch.kps[lo:hi]
+    valid = batch.valid[lo:hi]
+    cams = CameraBank.from_json_dir(shelf_data_dir / "calibs")
+
+    ctx = TrackerContext.build(cams, cfg, use_ik=True)
+    _, out = run_offline(ctx, jnp.asarray(kps), jnp.asarray(valid))
+    ours = assemble_tracklets(jax.device_get(out), list(range(lo, hi)))
+
+    active = np.zeros(hi, dtype=int)
+    for t in ours:
+        for f in t.frame_idxs:
+            active[f] += 1
+    # all 3 subjects held through the failure window (tracks may fragment,
+    # but never drop a subject around 131)
+    window = active[125:141]
+    assert (window >= 3).all(), f"active tracks in 125..140: {window.tolist()}"
+    # specifically: no subject lost AT frame 131
+    assert active[131] >= 3 and active[130] >= 3 and active[132] >= 3
