@@ -50,6 +50,7 @@ def main() -> None:
                     "top_track_lengths": m.lengths[:5],
                     "reproj_px_mean": round(m.mean_reproj_px, 2),
                     "reproj_px_median": round(m.median_reproj_px, 2),
+                    "n_degenerate_poses": m.n_degenerate_poses,
                     "track_time_s": round(res.track_time_s, 4),
                     "compile_s": round(
                         res.timings.get("compile+track", 0.0) - res.track_time_s, 2

@@ -33,6 +33,9 @@ class RunMetrics:
     mean_reproj_px: float
     median_reproj_px: float
     per_tracklet_reproj_px: List[float]
+    # (tracklet, frame) entries whose pose was non-finite — degenerate
+    # geometry is *counted*, not silently dropped from the error stats
+    n_degenerate_poses: int = 0
 
     def as_dict(self) -> Dict:
         return dataclasses.asdict(self)
@@ -59,6 +62,7 @@ def reprojection_metrics(
     all_errs: List[float] = []
     per_tlet: List[float] = []
     frames = set()
+    n_degenerate = 0
     for t in tracklets:
         errs = []
         is_b18 = t.poses_3d.shape[1] == 18 and t.eulers is not None
@@ -72,13 +76,14 @@ def reprojection_metrics(
                 X_sel, o_idx = X[skel_idx], obs_idx
             else:
                 X_sel, o_idx = X[:17], np.arange(17)
+            if not np.isfinite(X_sel).all():
+                n_degenerate += 1  # ghost-track geometry: count, don't hide
+                continue
             for v in range(cams.n_views):
                 p_idx = int(t.matched_pose[i, v])
                 if p_idx < 0:
                     continue
                 det = batch.kps[fi, v, p_idx]
-                if not np.isfinite(X_sel).all():
-                    continue  # degenerate ghost-track geometry
                 uv = _project(P[v], X_sel)
                 m = (det[o_idx, 2] > min_score) & np.isfinite(uv).all(axis=-1)
                 if m.sum():
@@ -95,6 +100,7 @@ def reprojection_metrics(
         mean_reproj_px=float(np.mean(all_errs)) if all_errs else float("nan"),
         median_reproj_px=float(np.median(all_errs)) if all_errs else float("nan"),
         per_tracklet_reproj_px=per_tlet,
+        n_degenerate_poses=n_degenerate,
     )
 
 
