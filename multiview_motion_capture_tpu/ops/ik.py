@@ -100,6 +100,89 @@ def add_mid_spine(obs: Array) -> Array:
     return jnp.concatenate([obs, spine[..., None, :]], axis=-2)
 
 
+def geometric_init(tri18: Array, skel: Skeleton, min_score: float = 0.05) -> Array:
+    """Closed-form joint-angle initialization from a triangulated pose.
+
+    The reference cold-starts its 50-iteration solve from *zero* angles
+    (ref:src/inverse_kinematics.py:389-397); starting instead from rotations
+    that already align each rest bone direction with the triangulated bone
+    drops the LM iteration count several-fold while converging to the same
+    least-squares optimum (quality-gated in bench/parity runs).
+
+    tri18: (18, 4) triangulated COCO+spine points (x, y, z, score).
+    Returns (18, 3) euler angles (the FK convention R = Rx @ Ry @ Rz).
+    """
+    from multiview_motion_capture_tpu.ops import quaternions as Q
+
+    dtype = tri18.dtype
+    # scatter observed points into skeleton-joint order
+    pos = jnp.zeros((N_JOINTS, 3), dtype=dtype)
+    pos = pos.at[_SKEL_SEL].set(tri18[_OBS_SEL, :3])
+    sc = jnp.zeros((N_JOINTS,), dtype=dtype)
+    sc = sc.at[_SKEL_SEL].set(tri18[_OBS_SEL, 3])
+    pos = pos.at[0].set(0.5 * (pos[1] + pos[4]))          # Mid_Hip
+    sc = sc.at[0].set(jnp.minimum(sc[1], sc[4]))
+    pos = pos.at[8].set(0.5 * (pos[9] + pos[12]))         # Neck
+    sc = sc.at[8].set(jnp.minimum(sc[9], sc[12]))
+
+    def unit(v):
+        return v / (jnp.linalg.norm(v) + 1e-9)
+
+    def frame_quat(d_primary, rest_primary, d_secondary, rest_secondary, ok):
+        """Rotation mapping rest_primary -> d_primary and (projected)
+        rest_secondary -> d_secondary, as a quaternion; identity if not ok."""
+        e1 = unit(d_primary)
+        r1 = unit(rest_primary)
+        e2 = unit(d_secondary - jnp.dot(d_secondary, e1) * e1)
+        r2 = unit(rest_secondary - jnp.dot(rest_secondary, r1) * r1)
+        # columns: R @ [r1 r2 r1xr2] = [e1 e2 e1xe2]
+        Rsrc = jnp.stack([r1, r2, jnp.cross(r1, r2)], axis=1)
+        Rdst = jnp.stack([e1, e2, jnp.cross(e1, e2)], axis=1)
+        R = Rdst @ Rsrc.T
+        q = Q.normalize(Q.from_matrix(R))
+        return jnp.where(ok, q, jnp.asarray([1.0, 0, 0, 0], dtype=dtype))
+
+    parents = np.asarray(BASIC_18_PARENTS)
+    rest = skel.bone_dirs  # (18, 3) unit rest directions (row 0 zero)
+
+    # root: spine (rest +z) and left-hip (rest +x) directions
+    ok_root = (sc[0] > min_score) & (sc[7] > min_score) & (sc[1] > min_score)
+    g_q0 = frame_quat(pos[7] - pos[0], rest[7], pos[1] - pos[0], rest[1], ok_root)
+
+    g_q = [None] * N_JOINTS
+    g_q[0] = g_q0
+    local_q = [None] * N_JOINTS
+    local_q[0] = g_q0
+
+    # one (first) observed child bone orients each internal joint; the LM
+    # polish owns the remaining twist DOF
+    child_of = {j: [] for j in range(N_JOINTS)}
+    for c in range(1, N_JOINTS):
+        child_of[int(parents[c])].append(c)
+
+    ident = jnp.asarray([1.0, 0, 0, 0], dtype=dtype)
+    for j in range(1, N_JOINTS):
+        p = int(parents[j])
+        kids = child_of[j]
+        if not kids:
+            local_q[j] = ident
+            g_q[j] = g_q[p]
+            continue
+        c = kids[0]
+        d_obs = pos[c] - pos[j]
+        ok = (sc[j] > min_score) & (sc[c] > min_score) & (
+            jnp.linalg.norm(d_obs) > 1e-6
+        )
+        d_rest_world = Q.qrot(g_q[p], rest[c])
+        align = Q.between(d_rest_world, jnp.where(ok, unit(d_obs), d_rest_world))
+        gq = Q.normalize(Q.qmul(align, g_q[p]))
+        g_q[j] = jnp.where(ok, gq, g_q[p])
+        local_q[j] = Q.normalize(Q.qmul(Q.conjugate(g_q[p]), g_q[j]))
+
+    locals_q = jnp.stack(local_q)  # (18, 4)
+    return Q.to_euler(locals_q).astype(dtype)
+
+
 def _residual(
     x: Array, skel: Skeleton, obs: Array, view_w: Array, P: Array, eps: float
 ) -> Array:
