@@ -10,9 +10,11 @@ runs the *entire* ADMM loop inside one `pallas_call`:
   exact here: padded rows/columns of W and init_A are zero, so every padded
   entry of every iterate stays zero (the ridge term keeps the padded normal
   equations trivially solvable),
-- the ridge solves (A^T A + lam I)^-1 RHS become Newton-Schulz iterations —
-  pure 128x128 matmuls on the MXU — with the ||M||_1 * ||M||_inf scaled
-  initialization that guarantees convergence for SPD M,
+- the ridge solves (A^T A + lam I)^-1 RHS exploit that only the leading
+  rank x rank block of the padded normal matrix is non-trivial: a statically
+  unrolled Gauss-Jordan on the (rank_pad, rank_pad + 128) augmented block
+  (~rank_pad steps of 3 VPU ops) replaces the earlier Newton-Schulz scheme
+  (28 full 128x128 MXU matmuls per solve) at better accuracy,
 - the same reference semantics as match_als: block-diagonal suppression,
   forced diagonal, [0,1] clipping, adaptive mu, residual + stable-binarization
   stopping (ref:src/mv_association.py:222-318).
@@ -36,7 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 TILE = 128
-N_SCHULZ = 14
 
 
 def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
@@ -57,22 +58,34 @@ def build_masks(n: int, diag_mask: np.ndarray, pad: int = TILE):
     return keep, eye_t
 
 
-def _schulz_inverse(M: Array) -> Array:
-    """Newton-Schulz inverse of SPD M (128x128), MXU matmuls only."""
-    r1 = jnp.max(jnp.sum(jnp.abs(M), axis=0))
-    rinf = jnp.max(jnp.sum(jnp.abs(M), axis=1))
-    X = M.T / (r1 * rinf)
-    eye2 = 2.0 * jnp.eye(TILE, dtype=M.dtype)
+def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
+    """(G + lam I)^-1 RHS where only G's leading (rank_pad, rank_pad) block
+    is populated (A's padded columns are zero).  Statically-unrolled
+    Gauss-Jordan on the augmented block; rows >= rank_pad of the result are
+    exactly zero (matching RHS_pad / lam = 0 of the full padded solve).
 
-    def body(i, X):
-        return jnp.dot(X, eye2 - jnp.dot(M, X, preferred_element_type=jnp.float32),
-                       preferred_element_type=jnp.float32)
-
-    return jax.lax.fori_loop(0, N_SCHULZ, body, X)
+    G: (128, 128); RHS: (128, 128).  Returns (128, 128).
+    """
+    # full padded height: G + lam I is block-diagonal (the true block, then
+    # lam on the padded diagonal), so eliminating only the first rank_pad
+    # pivots never touches the padded rows — whose RHS (and hence solution)
+    # is exactly zero, matching the full padded solve.  Slices/concats stay
+    # tile-aligned (Mosaic rejects offset slices on non-concat dims).
+    A_full = G + lam * jnp.eye(TILE, dtype=G.dtype)
+    aug = jnp.concatenate([A_full, RHS], axis=1)  # (128, 256)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, aug.shape, 0)
+    for k in range(rank_pad):  # static unroll: SPD + ridge needs no pivoting
+        pivot_row = aug[k : k + 1, :] / aug[k, k]
+        col = aug[:, k : k + 1]
+        # eliminate column k everywhere, then restore row k as the pivot row
+        # (masked select instead of .at[].set — scatter updates capture index
+        # constants the pallas tracer rejects)
+        aug = jnp.where(row_ids == k, pivot_row, aug - col * pivot_row)
+    return aug[:, TILE:]  # (128, 128)
 
 
 def _als_kernel(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
-                x_out_ref, iters_ref):
+                x_out_ref, iters_ref, *, rank_pad: int):
     W = w_ref[:]
     keep = keep_ref[:]
     eye_t = eye_ref[:]
@@ -86,12 +99,9 @@ def _als_kernel(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
     n_true = params_ref[6]
 
     W = 0.5 * (W + W.T)
-    eye128 = jnp.eye(TILE, dtype=W.dtype)
 
     def ridge_solve(G, lam, RHS):
-        # (G + lam I)^-1 RHS; lam on the full padded diagonal keeps it SPD
-        return jnp.dot(_schulz_inverse(G + lam * eye128), RHS,
-                       preferred_element_type=jnp.float32)
+        return _ridge_solve_gj(G, lam, RHS, rank_pad)
 
     def project_Z(X, Y, mu):
         Z = X + Y / mu
@@ -138,7 +148,7 @@ def _als_kernel(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("alpha", "beta", "mu0", "tol", "max_iter", "stable_iters",
-                     "interpret"),
+                     "rank", "interpret"),
 )
 def match_als_pallas(
     W_pad: Array,        # (128, 128) zero-padded similarity
@@ -152,16 +162,20 @@ def match_als_pallas(
     tol: float = 1e-4,
     max_iter: int = 1000,
     stable_iters: int = 10,
+    rank: int = TILE,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Returns (x_bin (128,128) bool, n_iters ())."""
+    """Returns (x_bin (128,128) bool, n_iters ()).  `rank` is the true ALS
+    factor rank (init_A's column count before padding); the ridge solves run
+    on its 8-aligned block only."""
+    rank_pad = min(TILE, max(8, -(-int(rank) // 8) * 8))
     params = jnp.asarray(
         [alpha, beta, mu0, tol, float(max_iter), float(stable_iters), 0.0],
         dtype=jnp.float32,
     )
     params = params.at[6].set(jnp.asarray(n_true, jnp.float32))
     X, iters = pl.pallas_call(
-        _als_kernel,
+        functools.partial(_als_kernel, rank_pad=rank_pad),
         out_shape=(
             jax.ShapeDtypeStruct((TILE, TILE), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
@@ -189,6 +203,7 @@ class PallasAlsContext(NamedTuple):
     eye_t: Array
     init_A: Array
     n_true: int
+    rank: int = TILE
 
     @classmethod
     def build(cls, n: int, diag_mask: np.ndarray, init_A: np.ndarray) -> "PallasAlsContext":
@@ -198,6 +213,7 @@ class PallasAlsContext(NamedTuple):
             eye_t=jnp.asarray(eye_t),
             init_A=jnp.asarray(_pad_to(np.asarray(init_A, dtype=np.float32), TILE, TILE)),
             n_true=n,
+            rank=int(np.asarray(init_A).shape[1]),
         )
 
 

@@ -317,7 +317,7 @@ def make_step(ctx: TrackerContext):
                 pc.n_true,
                 alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
                 tol=cfg.als_tol, max_iter=cfg.als_max_iter,
-                stable_iters=cfg.als_stable_iters,
+                stable_iters=cfg.als_stable_iters, rank=pc.rank,
                 interpret=ctx.als_interpret,
             )
             x_bin = x_pad[:N, :N]
