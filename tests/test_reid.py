@@ -1,0 +1,97 @@
+"""Tracklet re-identification merge pass (reid.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiview_motion_capture_tpu.ops.fk import Skeleton, forward_kinematics
+from multiview_motion_capture_tpu.reid import ReidConfig, match_fragments, merge_tracklets
+from multiview_motion_capture_tpu.tracker import Tracklet
+
+
+SKEL = Skeleton.default()
+
+
+def _make_fragment(track_id, frames, root_fn, side_scale=1.0, seed=0):
+    """A tracklet fragment whose poses are real FK output: identity evidence
+    (side bone lengths) is consistent within the fragment."""
+    rng = np.random.RandomState(seed)
+    frames = list(frames)
+    L = len(frames)
+    side = np.asarray(SKEL.side_bone_lens) * side_scale
+    roots = np.stack([root_fn(f) for f in frames]).astype(np.float32)
+    eulers = 0.05 * rng.standard_normal((L, 18, 3)).astype(np.float32)
+    joints = jax.vmap(lambda r, e: forward_kinematics(
+        SKEL, r, e, jnp.asarray(side, dtype=jnp.float32)))(
+        jnp.asarray(roots), jnp.asarray(eulers))
+    return Tracklet(
+        track_id=track_id,
+        frame_idxs=frames,
+        roots=roots,
+        eulers=eulers,
+        side_lens=np.tile(side.astype(np.float32), (L, 1)),
+        poses_3d=np.asarray(joints),
+        poses_score=np.ones((L, 18), dtype=np.float32),
+        matched_pose=np.zeros((L, 5), dtype=np.int32),
+    )
+
+
+def _walk(start, vel):
+    return lambda f: np.asarray(start) + f * np.asarray(vel)
+
+
+def test_merges_same_person_fragments():
+    """Two fragments of one walking person, split by a 10-frame hole, merge;
+    a different person (different bone lengths, elsewhere) stays separate."""
+    a1 = _make_fragment(0, range(0, 30), _walk([0, 0, 1.0], [0.01, 0, 0]), seed=1)
+    a2 = _make_fragment(3, range(40, 70), _walk([0, 0, 1.0], [0.01, 0, 0]), seed=2)
+    b = _make_fragment(1, range(35, 80), _walk([3.0, 3.0, 1.0], [0, 0.01, 0]),
+                       side_scale=1.3, seed=3)
+    merged = merge_tracklets([a1, b, a2])
+    assert len(merged) == 2
+    ids = sorted(t.track_id for t in merged)
+    assert ids == [0, 1]
+    big = next(t for t in merged if t.track_id == 0)
+    assert big.frame_idxs == list(range(0, 30)) + list(range(40, 70))
+    assert len(big.poses_3d) == 60
+    # merge only relabels/concatenates: per-frame data is bit-identical
+    np.testing.assert_array_equal(big.poses_3d[:30], a1.poses_3d)
+    np.testing.assert_array_equal(big.poses_3d[30:], a2.poses_3d)
+
+
+def test_chains_merge_transitively():
+    frags = [
+        _make_fragment(i, range(40 * i, 40 * i + 30),
+                       _walk([0, 0, 1.0], [0.008, 0, 0]), seed=i)
+        for i in range(3)
+    ]
+    merged = merge_tracklets(frags)
+    assert len(merged) == 1
+    assert len(merged[0]) == 90
+
+
+def test_gates_reject_wrong_matches():
+    # same trajectory, very different bone lengths -> bone gate rejects
+    a = _make_fragment(0, range(0, 30), _walk([0, 0, 1.0], [0.01, 0, 0]), seed=1)
+    b = _make_fragment(1, range(40, 70), _walk([0, 0, 1.0], [0.01, 0, 0]),
+                       side_scale=1.6, seed=2)
+    assert match_fragments([a, b], ReidConfig(bone_sigma_floor_m=0.005)) == []
+
+    # same person stats, but the gap exceeds the window -> no merge
+    c = _make_fragment(2, range(200, 230), _walk([2.0, 0, 1.0], [0.01, 0, 0]), seed=1)
+    assert match_fragments([a, c]) == []
+
+    # temporal overlap is never a continuation
+    d = _make_fragment(3, range(20, 50), _walk([0.2, 0, 1.0], [0.01, 0, 0]), seed=1)
+    assert match_fragments([a, d]) == []
+
+
+def test_trajectory_extrapolation_bridges_moving_person():
+    """A fast mover: endpoints are far apart, but constant-velocity
+    extrapolation across the gap lands on the new fragment's start."""
+    vel = [0.05, 0.0, 0.0]  # 5 cm/frame
+    a = _make_fragment(0, range(0, 30), _walk([0, 0, 1.0], vel), seed=4)
+    b = _make_fragment(1, range(55, 85), _walk([0, 0, 1.0], vel), seed=5)
+    gap_travel = np.linalg.norm(np.asarray(vel)) * (55 - 29)
+    assert gap_travel > 0.6  # endpoint distance alone would be gated out
+    merged = merge_tracklets([a, b])
+    assert len(merged) == 1
