@@ -56,6 +56,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--no_ik", action="store_true",
                        help="triangulation pass-through instead of IK")
     p_run.add_argument("--bvh", action="store_true", help="export BVH per track")
+    p_run.add_argument("--reid", action="store_true",
+                       help="offline re-identification merge of tracklet "
+                            "fragments (bone-length + trajectory evidence)")
     _add_common(p_run)
 
     p_viz = sub.add_parser("viz", help="render tracklets to video")
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
                                       max_frames=args.max_frames)
         else:
             parser.error("run needs --kps_dir or --frames_npz")
-        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik)
+        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik,
+                           reid=args.reid)
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)

@@ -68,12 +68,19 @@ def run(
     checkpoint_dir: Optional[Path] = None,
     checkpoint_every: int = 100,
     two_pass: bool = False,
+    reid: bool = False,
+    reid_cfg=None,
 ) -> RunResult:
     """run mode: filter detections, track + solve the whole sequence.
 
     `skip_first_frame` replicates the reference's off-by-one (frm_idx starts
     at 1, ref:src/motion_capture.py:1058-1063) for strict parity runs; the
     default processes every frame.
+
+    `reid=True` runs the offline tracklet re-identification merge pass
+    (reid.merge_tracklets): fragments killed by the reference's `max_age=0`
+    lifecycle are re-joined by bone-length + trajectory identity evidence.
+    Off by default so parity runs reproduce the reference's fragmentation.
 
     With `checkpoint_dir`, the scan runs in `checkpoint_every`-frame chunks,
     persisting tracker state + emissions after each; an interrupted run
@@ -85,8 +92,16 @@ def run(
     call (ops/ik_batch.py) — the sequential depth drops from frames x iters
     to iters.
     """
+    def _post(tracklets: List[Tracklet]) -> List[Tracklet]:
+        if reid:
+            from multiview_motion_capture_tpu.reid import merge_tracklets
+
+            return merge_tracklets(tracklets, reid_cfg)
+        return tracklets
+
     if two_pass and use_ik:
-        return _run_two_pass(batch, cams, cfg, skip_first_frame)
+        res = _run_two_pass(batch, cams, cfg, skip_first_frame)
+        return dataclasses.replace(res, tracklets=_post(res.tracklets))
     cfg = cfg or PipelineConfig(n_views=batch.n_views)
     timer = StageTimer()
 
@@ -138,7 +153,7 @@ def run(
         track_time = time.perf_counter() - t1
         with timer.stage("assemble"):
             host_out = ckpt.concat_outputs(ckpt.load_outputs(checkpoint_dir, n_chunks - 1))
-            tracklets = assemble_tracklets(host_out, list(frame_idxs))
+            tracklets = _post(assemble_tracklets(host_out, list(frame_idxs)))
         return RunResult(
             tracklets=tracklets,
             n_frames=int(end - start),
@@ -160,7 +175,7 @@ def run(
 
     with timer.stage("assemble"):
         host_out = jax.device_get(outputs)
-        tracklets = assemble_tracklets(host_out, list(frame_idxs))
+        tracklets = _post(assemble_tracklets(host_out, list(frame_idxs)))
 
     return RunResult(
         tracklets=tracklets,
@@ -199,9 +214,11 @@ def _run_two_pass(
     def _pass2(out):
         params, joints = solve_sequence_batch(
             skel, kps, out.matched_pose, out.updated, out.pose3d, ctx.cams.P,
+            tri_score=out.pose3d_score,
             n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
             lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
             lam_down=cfg.ik_lm_damping_down,
+            solver=cfg.ik_solver, interpret=ctx.als_interpret,
         )
         return out._replace(
             root=params.root,

@@ -127,9 +127,16 @@ class TrackerContext:
     use_ik: bool = True
     als_pallas_ctx: object = None  # PallasAlsContext when the fused kernel is used
     als_interpret: bool = False
+    # optional device mesh: the O(V^2 P^2 K) epipolar blocks of the
+    # similarity matrix are computed camera-sharded over this mesh axis
+    # (parallel.sharded_association), with detections exchanged by one
+    # all_gather over ICI — the scaled-rig multi-chip path (SURVEY.md §2.3)
+    mesh: object = None
+    mesh_axis: str = "dp"
 
     @classmethod
-    def build(cls, cams: CameraBank, cfg: PipelineConfig, use_ik: bool = True) -> "TrackerContext":
+    def build(cls, cams: CameraBank, cfg: PipelineConfig, use_ik: bool = True,
+              mesh=None, mesh_axis: str = "dp") -> "TrackerContext":
         K = np.asarray(cams.K, dtype=np.float64)
         Rt = np.asarray(cams.Rt, dtype=np.float64)
         P = np.asarray(cams.P, dtype=np.float64)
@@ -145,10 +152,15 @@ class TrackerContext:
         if backend in ("auto", "pallas"):
             from multiview_motion_capture_tpu.ops import als_pallas
 
-            if n <= als_pallas.TILE and (
+            if n <= als_pallas.MAX_PAD and (
                 backend == "pallas" or jax.default_backend() == "tpu"
             ):
                 pallas_ctx = als_pallas.PallasAlsContext.build(n, diag_mask, init_A)
+        if mesh is not None and cfg.n_views % mesh.shape[mesh_axis] != 0:
+            raise ValueError(
+                f"n_views={cfg.n_views} not divisible by mesh axis "
+                f"{mesh_axis}={mesh.shape[mesh_axis]}"
+            )
         return cls(
             cfg=cfg,
             cams=cams,
@@ -161,6 +173,8 @@ class TrackerContext:
             use_ik=use_ik,
             als_pallas_ctx=pallas_ctx,
             als_interpret=interpret,
+            mesh=mesh,
+            mesh_axis=mesh_axis,
         )
 
 
@@ -186,10 +200,19 @@ def _spatial_time_similarity(ctx: TrackerContext, state: TrackerState,
     N = cfg.n_matrix
 
     # ---- 2D-2D epipolar block (V,P,V,P) ----
-    ka = kps[:, :, None, None, :, :]                       # (V,P,1,1,K,3)
-    kb = kps[None, None, :, :, :, :]                       # (1,1,V,P,K,3)
-    Fab = ctx.F_det[:, None, :, None, :, :]                # (V,1,V,1,3,3)
-    d22 = geom.masked_symmetric_epipolar_error(ka, kb, Fab, cfg.epipolar_min_kps_score)
+    if ctx.mesh is not None:
+        from multiview_motion_capture_tpu.parallel.sharded_association import (
+            sharded_st_epipolar,
+        )
+
+        d22 = sharded_st_epipolar(
+            kps, ctx.F_det, cfg.epipolar_min_kps_score, ctx.mesh, ctx.mesh_axis
+        )
+    else:
+        ka = kps[:, :, None, None, :, :]                   # (V,P,1,1,K,3)
+        kb = kps[None, None, :, :, :, :]                   # (1,1,V,P,K,3)
+        Fab = ctx.F_det[:, None, :, None, :, :]            # (V,1,V,1,3,3)
+        d22 = geom.masked_symmetric_epipolar_error(ka, kb, Fab, cfg.epipolar_min_kps_score)
     same_view = jnp.eye(V, dtype=bool)[:, None, :, None]
     pair_valid = det_valid[:, :, None, None] & det_valid[None, None, :, :]
     d22 = jnp.where(same_view | ~pair_valid, jnp.nan, d22)
@@ -244,7 +267,14 @@ def _spatial_similarity(ctx: TrackerContext, kps: Array, det_valid: Array) -> Tu
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
     N = cfg.n_matrix
 
-    d = geom.projected_distance_all_pairs(kps, ctx.F_spatial)   # (V,P,V,P)
+    if ctx.mesh is not None:
+        from multiview_motion_capture_tpu.parallel.sharded_association import (
+            sharded_affinity,
+        )
+
+        d = sharded_affinity(kps, ctx.F_spatial, ctx.mesh, ctx.mesh_axis)
+    else:
+        d = geom.projected_distance_all_pairs(kps, ctx.F_spatial)  # (V,P,V,P)
     same_view = jnp.eye(V, dtype=bool)[:, None, :, None]
     d = jnp.where(same_view, cfg.spatial_fill_distance, d)
     dst = d.reshape(V * P, V * P)
@@ -284,8 +314,20 @@ def _gather_obs(kps: Array, matched_pose: Array, exists: Array) -> Tuple[Array, 
     return obs * w[:, :, None, None], w
 
 
-def make_step(ctx: TrackerContext):
-    """Build the jitted per-frame step function."""
+def make_step(ctx: TrackerContext, batch_mode: bool = False):
+    """Build the jitted per-frame step function.
+
+    `batch_mode=True` builds the vmap-friendly variant for
+    `run_offline_batched`: under vmap `lax.cond` lowers to `select`, so the
+    single-sequence step's cold/warm IK conds would BOTH run every frame for
+    the whole batch (the r1 "unusable at its stated purpose" failure).  The
+    batch variant instead runs ONE merged two-stage solve per frame whose
+    per-slot inits are selected cold (geometric, from triangulation) or warm
+    (previous params); untouched slots carry zero view weights and are seeded
+    converged, so the batched while_loop only runs as long as the slowest
+    *real* solve.  Same optimum, different iteration schedule than the
+    sequential scan (warm slots get the staged cold budget with early exit).
+    """
     cfg = ctx.cfg
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
     N = cfg.n_matrix
@@ -313,7 +355,7 @@ def make_step(ctx: TrackerContext):
 
             pc = ctx.als_pallas_ctx
             x_pad, als_iters = als_pallas.match_als_pallas(
-                als_pallas.pad_similarity(sim), pc.keep, pc.eye_t, pc.init_A,
+                als_pallas.pad_similarity(sim, pc.pad), pc.keep, pc.eye_t, pc.init_A,
                 pc.n_true,
                 alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
                 tol=cfg.als_tol, max_iter=cfg.als_max_iter,
@@ -418,7 +460,38 @@ def make_step(ctx: TrackerContext):
             root = 0.5 * (tri[_LHIP, :3] + tri[_RHIP, :3])
             return tri, root
 
-        if ctx.use_ik:
+        if ctx.use_ik and batch_mode:
+            # merged cold+warm solve (see docstring): always triangulate the
+            # spawn candidates, select per-slot inits, one staged LM call
+            cold_tri, cold_roots = jax.vmap(cold_init)(new_obs, new_w)
+            cold_euler = jax.vmap(lambda t: ik_ops.geometric_init(t, skel))(cold_tri)
+            sel_s, sel_u = spawned, update_mask
+            init = ik_ops.IkParams(
+                root=jnp.where(sel_s[:, None], cold_roots, state.root),
+                euler=jnp.where(sel_s[:, None, None], cold_euler, state.euler),
+                side_lens=jnp.where(
+                    sel_s[:, None],
+                    jnp.broadcast_to(skel.side_bone_lens, (T, 11)),
+                    state.side_lens,
+                ),
+            )
+            obs = jnp.where(sel_s[:, None, None, None], new_obs, upd_obs)
+            w = jnp.where(sel_s[:, None], new_w, upd_w)
+            params, joints = ik_ops.solve_two_stage(
+                init, skel, obs, w, ctx.cams.P,
+                n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
+                lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
+                lam_down=cfg.ik_lm_damping_down,
+                solver=cfg.ik_solver, interpret=ctx.als_interpret,
+            )
+            touched_ik = sel_s | sel_u
+            new_root = jnp.where(touched_ik[:, None], params.root, state.root)
+            new_euler = jnp.where(touched_ik[:, None, None], params.euler, state.euler)
+            new_side = jnp.where(touched_ik[:, None], params.side_lens, state.side_lens)
+            new_pose3d = jnp.where(touched_ik[:, None, None], joints, state.pose3d)
+            new_score = jnp.where(touched_ik[:, None],
+                                  jnp.ones_like(state.pose3d_score), state.pose3d_score)
+        elif ctx.use_ik:
             any_update = jnp.any(update_mask)
             any_spawn = jnp.any(spawned)
 
@@ -584,6 +657,43 @@ class MvTracker:
         self.frame_idxs.append(frame_idx)
         return self.outputs[-1]
 
+    def update_batch(self, frame_idxs, kps: np.ndarray, valid: np.ndarray) -> List[FrameOutput]:
+        """Micro-batched streaming update: process k frames in ONE device
+        dispatch (a k-length `lax.scan` of the step).
+
+        Per-frame dispatch dominates online latency when the device is
+        remote (the axon tunnel costs ~30 ms round-trip per call against
+        ~4.5 ms of device work, docs/PERF.md); batching k frames amortizes
+        the round-trip k-fold at k frames of added output latency.  Results
+        are identical to k sequential `update` calls (the scan runs the same
+        step function over the same state).
+
+        kps: (k, V, P, K, 3); valid: (k, V, P); len(frame_idxs) == k.
+        The jitted scan specializes on k — use a fixed micro-batch size (a
+        different tail size compiles once more).
+        """
+        k = len(frame_idxs)
+        assert kps.shape[0] == k and valid.shape[0] == k
+        fn = _cached_scan(("chunk", id(self.ctx)), self.ctx, self._build_chunk_scan)
+        self.state, outs = fn(self.state, (jnp.asarray(kps), jnp.asarray(valid)))
+        outs = jax.device_get(outs)
+        per_frame = [
+            FrameOutput(*[np.asarray(getattr(outs, f))[i] for f in FrameOutput._fields])
+            for i in range(k)
+        ]
+        self.outputs.extend(per_frame)
+        self.frame_idxs.extend(int(f) for f in frame_idxs)
+        return per_frame
+
+    def _build_chunk_scan(self):
+        step = make_step(self.ctx)
+
+        @jax.jit
+        def scan_chunk(state, frames):
+            return jax.lax.scan(step, state, frames)
+
+        return scan_chunk
+
     def tracklets(self) -> List[Tracklet]:
         if not self.outputs:
             return []
@@ -645,18 +755,19 @@ def run_offline_batched(
     the *vmapped* step — a serving-throughput mode with no reference
     analogue.
 
-    NOTE on cost: under vmap, `lax.cond` lowers to `select`, so the cold
-    (50-iteration) IK solver body executes every frame for the whole batch
-    and the association while-loops run to the max iteration count across
-    the batch.  On a single chip the per-sequence scan (`run_offline`) is
-    faster; this mode exists for correctness-preserving batch semantics
-    (e.g. feeding a multi-host pipeline where sequences map to devices).
+    Uses the batch-friendly step variant (`make_step(ctx, batch_mode=True)`
+    when IK is on): one merged cold+warm solve per frame instead of two
+    `lax.cond` branches that would BOTH lower to always-on `select`s under
+    vmap.  IK results can differ from `run_offline` at the last-LM-step level
+    (warm slots run the staged cold schedule with early exit — same optimum).
+    Association while-loops still run to the max iteration count across the
+    batch; that is inherent to batching sequences.
 
     kps: (B, F, V, P, K, 3); valid: (B, F, V, P).
     Returns (states (B, ...), outputs with leading (F, B, ...))."""
 
     def build():
-        step = jax.vmap(make_step(ctx))
+        step = jax.vmap(make_step(ctx, batch_mode=ctx.use_ik))
 
         @jax.jit
         def scan_all(kps, valid):

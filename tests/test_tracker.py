@@ -90,6 +90,26 @@ def test_streaming_matches_offline(seq):
         np.testing.assert_allclose(a.poses_3d, b.poses_3d, atol=1e-5)
 
 
+def test_microbatched_streaming_matches_per_frame(seq):
+    """update_batch (k frames per dispatch) == k sequential update calls,
+    including across micro-batch boundaries and an uneven tail."""
+    ref = MvTracker(seq.cameras, CFG, use_ik=False)
+    for f in range(seq.batch.n_frames):
+        ref.update(f, seq.batch.kps[f], seq.batch.valid[f])
+
+    mb = MvTracker(seq.cameras, CFG, use_ik=False)
+    k = 3  # 8 frames -> chunks of 3, 3, 2 (uneven tail)
+    for s in range(0, seq.batch.n_frames, k):
+        e = min(seq.batch.n_frames, s + k)
+        mb.update_batch(list(range(s, e)), seq.batch.kps[s:e], seq.batch.valid[s:e])
+
+    a, b = ref.tracklets(), mb.tracklets()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.frame_idxs == y.frame_idxs
+        np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-5)
+
+
 def test_tentative_track_dies_after_one_miss():
     """max_age=0 + Tentative -> Dead on the first miss
     (ref:src/motion_capture.py:387-391)."""
@@ -136,6 +156,34 @@ def test_batched_multi_sequence_matches_single(seq):
         for x, y in zip(a, c):
             assert x.frame_idxs == y.frame_idxs
             np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-5)
+
+
+def test_batched_ik_mode_matches_single(seq):
+    """Batched serving mode with IK on: the merged cold+warm solve (no
+    cond->select blowup under vmap) reaches the same tracks and poses as the
+    sequential scan (same least-squares optimum, different LM schedule)."""
+    import dataclasses
+    from multiview_motion_capture_tpu.tracker import (
+        FrameOutput,
+        run_offline_batched,
+    )
+
+    cfg = dataclasses.replace(CFG, als_backend="xla")
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=True)
+    kps = jnp.stack([jnp.asarray(seq.batch.kps)] * 2)
+    valid = jnp.stack([jnp.asarray(seq.batch.valid)] * 2)
+    _, outs = run_offline_batched(ctx, kps, valid)
+    outs = jax.device_get(outs)
+    _, single = run_offline(ctx, jnp.asarray(seq.batch.kps), jnp.asarray(seq.batch.valid))
+    a = assemble_tracklets(jax.device_get(single))
+    for b in range(2):
+        c = assemble_tracklets(FrameOutput(
+            *[np.asarray(getattr(outs, f))[:, b] for f in FrameOutput._fields]))
+        assert len(a) == len(c)
+        for x, y in zip(a, c):
+            assert x.frame_idxs == y.frame_idxs
+            # same optimum, different iteration schedule -> small tolerance
+            assert np.linalg.norm(x.poses_3d - y.poses_3d, axis=-1).mean() < 0.02
 
 
 def test_scan_cache_identity_guard(seq):
