@@ -38,6 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 TILE = 128
+# largest padded matrix the fused kernel accepts: 2x2 MXU tiles (a 256-wide
+# association matrix covers a 20-cam x 10-people rig at N = 216).  All six
+# live (pad, pad) f32 state matrices plus the (pad, 2 pad) GJ workspace fit
+# VMEM with room to spare (~3.5 MB at 256); beyond this the XLA while-loop
+# path takes over.
+MAX_PAD = 256
+
+
+def pad_for(n: int) -> int:
+    """Smallest 128-multiple >= n (the kernel's padded matrix side)."""
+    return max(TILE, -(-n // TILE) * TILE)
 
 
 def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
@@ -64,15 +75,16 @@ def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
     Gauss-Jordan on the augmented block; rows >= rank_pad of the result are
     exactly zero (matching RHS_pad / lam = 0 of the full padded solve).
 
-    G: (128, 128); RHS: (128, 128).  Returns (128, 128).
+    G: (pad, pad); RHS: (pad, pad).  Returns (pad, pad).
     """
     # full padded height: G + lam I is block-diagonal (the true block, then
     # lam on the padded diagonal), so eliminating only the first rank_pad
     # pivots never touches the padded rows — whose RHS (and hence solution)
     # is exactly zero, matching the full padded solve.  Slices/concats stay
     # tile-aligned (Mosaic rejects offset slices on non-concat dims).
-    A_full = G + lam * jnp.eye(TILE, dtype=G.dtype)
-    aug = jnp.concatenate([A_full, RHS], axis=1)  # (128, 256)
+    pad = G.shape[0]
+    A_full = G + lam * jnp.eye(pad, dtype=G.dtype)
+    aug = jnp.concatenate([A_full, RHS], axis=1)  # (pad, 2*pad)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, aug.shape, 0)
     for k in range(rank_pad):  # static unroll: SPD + ridge needs no pivoting
         pivot_row = aug[k : k + 1, :] / aug[k, k]
@@ -81,7 +93,7 @@ def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
         # (masked select instead of .at[].set — scatter updates capture index
         # constants the pallas tracer rejects)
         aug = jnp.where(row_ids == k, pivot_row, aug - col * pivot_row)
-    return aug[:, TILE:]  # (128, 128)
+    return aug[:, pad:]  # (pad, pad)
 
 
 def _als_kernel(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
@@ -151,10 +163,10 @@ def _als_kernel(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
                      "rank", "interpret"),
 )
 def match_als_pallas(
-    W_pad: Array,        # (128, 128) zero-padded similarity
-    keep: Array,         # (128, 128) f32 mask
-    eye_t: Array,        # (128, 128) f32 true-diagonal
-    init_A_pad: Array,   # (128, 128) zero-padded init factor
+    W_pad: Array,        # (pad, pad) zero-padded similarity (pad = 128*k)
+    keep: Array,         # (pad, pad) f32 mask
+    eye_t: Array,        # (pad, pad) f32 true-diagonal
+    init_A_pad: Array,   # (pad, pad) zero-padded init factor
     n_true: int | Array,
     alpha: float = 50.0,
     beta: float = 0.1,
@@ -165,10 +177,11 @@ def match_als_pallas(
     rank: int = TILE,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Returns (x_bin (128,128) bool, n_iters ()).  `rank` is the true ALS
+    """Returns (x_bin (pad,pad) bool, n_iters ()).  `rank` is the true ALS
     factor rank (init_A's column count before padding); the ridge solves run
     on its 8-aligned block only."""
-    rank_pad = min(TILE, max(8, -(-int(rank) // 8) * 8))
+    pad = W_pad.shape[0]
+    rank_pad = min(pad, max(8, -(-int(rank) // 8) * 8))
     params = jnp.asarray(
         [alpha, beta, mu0, tol, float(max_iter), float(stable_iters), 0.0],
         dtype=jnp.float32,
@@ -177,7 +190,7 @@ def match_als_pallas(
     X, iters = pl.pallas_call(
         functools.partial(_als_kernel, rank_pad=rank_pad),
         out_shape=(
-            jax.ShapeDtypeStruct((TILE, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((pad, pad), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
         in_specs=[
@@ -204,19 +217,29 @@ class PallasAlsContext(NamedTuple):
     init_A: Array
     n_true: int
     rank: int = TILE
+    pad: int = TILE
 
     @classmethod
     def build(cls, n: int, diag_mask: np.ndarray, init_A: np.ndarray) -> "PallasAlsContext":
-        keep, eye_t = build_masks(n, np.asarray(diag_mask))
+        pad = pad_for(n)
+        if pad > MAX_PAD:
+            raise ValueError(
+                f"association matrix n={n} exceeds the fused kernel's "
+                f"MAX_PAD={MAX_PAD}; use the XLA backend"
+            )
+        keep, eye_t = build_masks(n, np.asarray(diag_mask), pad=pad)
         return cls(
             keep=jnp.asarray(keep),
             eye_t=jnp.asarray(eye_t),
-            init_A=jnp.asarray(_pad_to(np.asarray(init_A, dtype=np.float32), TILE, TILE)),
+            init_A=jnp.asarray(_pad_to(np.asarray(init_A, dtype=np.float32), pad, pad)),
             n_true=n,
             rank=int(np.asarray(init_A).shape[1]),
+            pad=pad,
         )
 
 
-def pad_similarity(W: Array) -> Array:
+def pad_similarity(W: Array, pad: int = TILE) -> Array:
     n = W.shape[0]
-    return jnp.zeros((TILE, TILE), dtype=jnp.float32).at[:n, :n].set(W)
+    if n == pad:
+        return W.astype(jnp.float32)
+    return jnp.zeros((pad, pad), dtype=jnp.float32).at[:n, :n].set(W)

@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from multiview_motion_capture_tpu.ops.geometry import _normalize_lines
+from multiview_motion_capture_tpu.ops.geometry import (
+    _normalize_lines,
+    masked_symmetric_epipolar_error,
+)
 from multiview_motion_capture_tpu.utils.precision import high_precision
 
 Array = jnp.ndarray
@@ -79,3 +82,43 @@ def sharded_affinity(kps: Array, F: Array, mesh: Mesh, axis: str = "dp") -> Arra
         )
     )(kps, F)
     return jnp.transpose(out, (0, 2, 1, 3))  # (V, P, V, P)
+
+
+@high_precision
+def sharded_st_epipolar(
+    kps: Array, F: Array, min_pair_score: float, mesh: Mesh, axis: str = "dp"
+) -> Array:
+    """Camera-sharded score-gated symmetric epipolar block — the 2D-2D part
+    of the spatial-time similarity matrix (ref:src/motion_capture.py:673-741,
+    semantics of `ops.geometry.masked_symmetric_epipolar_error`).
+
+    Device d computes the distance rows of its local cameras against an
+    `all_gather` of every view's detections; `masked_symmetric_epipolar_error`
+    is already symmetric per (a, b) pair from F_ab alone (it uses F and F^T
+    internally), so one gather covers both directions.
+
+    kps: (V, P, K, 3); F: (V, V, 3, 3) replicated.
+    Returns (V, P, V, P) with NaN where no keypoint pair passes the score
+    gate (same-view masking is the caller's job, as in the local path).
+    """
+    V = kps.shape[0]
+    n_shard = mesh.shape[axis]
+    assert V % n_shard == 0, f"V={V} not divisible by mesh axis {axis}={n_shard}"
+
+    def local_rows(kps_local, F_rows):
+        # kps_local: (Vl, P, K, 3); F_rows: (Vl, V, 3, 3)
+        kps_all = jax.lax.all_gather(kps_local, axis)
+        kps_all = kps_all.reshape((V,) + kps_local.shape[1:])
+        ka = kps_local[:, :, None, None, :, :]     # (Vl, P, 1, 1, K, 3)
+        kb = kps_all[None, None, :, :, :, :]       # (1, 1, V, P, K, 3)
+        Fab = F_rows[:, None, :, None, :, :]       # (Vl, 1, V, 1, 3, 3)
+        return masked_symmetric_epipolar_error(ka, kb, Fab, min_pair_score)
+
+    return jax.jit(
+        jax.shard_map(
+            local_rows,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+    )(kps, F)

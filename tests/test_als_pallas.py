@@ -62,6 +62,35 @@ def test_pallas_matches_xla_als(seed):
                 assert (rep[i] == rep[j]) == (groups[i] == groups[j]), (seed, i, j)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_multitile_matches_xla(seed):
+    """N > 128 (two 128-tiles): the scaled-rig case, e.g. 10cam x 10people
+    N=136 or a 20-cam rig N=216 (VERDICT r1 missing #5)."""
+    # 14 cameras x 10-12 detections -> N in the 140-168 range
+    sizes = tuple(np.random.RandomState(100 + seed).randint(10, 13, size=14))
+    W, groups, sizes = _random_problem(seed, sizes=sizes, n_people=12)
+    n = len(groups)
+    assert n > AP.TILE
+    mask = A.block_diag_mask(sizes)
+    init = A.default_init_factor(n, 20)
+
+    xla = A.match_als(jnp.asarray(W), jnp.asarray(mask), jnp.asarray(init),
+                      stable_iters=10)
+    ctx = AP.PallasAlsContext.build(n, mask, init)
+    assert ctx.pad == 256
+    x_pal, iters = AP.match_als_pallas(
+        AP.pad_similarity(jnp.asarray(W), ctx.pad), ctx.keep, ctx.eye_t,
+        ctx.init_A, ctx.n_true, stable_iters=10, rank=ctx.rank, interpret=True,
+    )
+    x_full = np.asarray(x_pal)
+    assert not x_full[n:, :].any() and not x_full[:, n:].any()
+    x_pal = x_full[:n, :n]
+    gp = A.extract_groups(jnp.asarray(x_pal), jnp.ones(n, dtype=bool))
+    gx = A.extract_groups(jnp.asarray(xla.x_bin), jnp.ones(n, dtype=bool))
+    np.testing.assert_array_equal(np.asarray(gp.rep), np.asarray(gx.rep))
+    np.testing.assert_array_equal(np.asarray(gp.member), np.asarray(gx.member))
+
+
 def test_pallas_padding_stays_zero():
     W, groups, sizes = _random_problem(7)
     n = len(groups)
