@@ -62,7 +62,11 @@ def synthetic_sequence(
     drop_prob: float = 0.05,
     seed: int = 0,
     shuffle_slots: bool = True,
+    min_person_distance: float = 0.0,
 ) -> SyntheticSequence:
+    """`min_person_distance` > 0 rejection-samples start positions until all
+    pairwise distances exceed it (image-space detection demos need people
+    that don't permanently occlude each other)."""
     cfg = cfg or PipelineConfig(n_views=n_views)
     rng = np.random.RandomState(seed)
     cams = synthetic_camera_ring(n_views)
@@ -70,6 +74,13 @@ def synthetic_sequence(
 
     # random smooth walks + limb jitter
     starts = rng.uniform(-1.5, 1.5, size=(n_people, 2))
+    if min_person_distance > 0:
+        for _ in range(1000):
+            d = np.linalg.norm(starts[:, None] - starts[None, :], axis=-1)
+            d[np.diag_indices(n_people)] = np.inf
+            if d.min() >= min_person_distance:
+                break
+            starts = rng.uniform(-1.5, 1.5, size=(n_people, 2))
     vels = rng.uniform(-0.03, 0.03, size=(n_people, 2))
     phases = rng.uniform(0, 2 * np.pi, size=(n_people,))
 
@@ -92,7 +103,15 @@ def synthetic_sequence(
             rot = np.array([[np.cos(ang), -np.sin(ang), 0],
                             [np.sin(ang), np.cos(ang), 0],
                             [0, 0, 1.0]])
-            pos = starts[p] + f * vels[p]
+            # bounded walk: reflect at +-2.2 m so long sequences keep people
+            # inside the camera ring's shared view (an unbounded f*vel drift
+            # walks everyone out of frame by ~100 frames, which turns long
+            # benchmarks into out-of-view churn instead of tracking).
+            # Triangle-wave reflection; identity while |x| <= 2.2, so short
+            # (<= 20-frame) sequences are bit-identical to the old walk.
+            B = 2.2
+            raw = starts[p] + f * vels[p]
+            pos = B - np.abs(np.mod(raw + B, 4 * B) - 2 * B)
             pts = base @ rot.T
             pts[:, 0] += pos[0]
             pts[:, 1] += pos[1]

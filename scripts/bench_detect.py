@@ -1,0 +1,124 @@
+"""Detect+track benchmark (BASELINE config 5): raw frames -> tracklets fps.
+
+The reference's real-footage path runs the external OpenPose binary
+(ref:run_openpose.sh) out-of-band; this measures the in-framework
+replacement end-to-end on the TPU: full-frame person proposal (center
+channel, multi-peak NMS) -> on-device crops -> top-down keypoint CNN ->
+association/tracking/IK.
+
+The bundled Shelf videos are absent from this mount
+(/root/reference/.MISSING_LARGE_BLOBS), so frames are synthetic blob
+renders at half Shelf resolution (516x388, 5 cams) — the CNN work is
+resolution-realistic; only the pixels are fake.
+
+Run ON THE TPU (no --cpu), one process at a time:
+    python scripts/bench_detect.py [--frames 100]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main(n_frames=100, n_people=3, n_views=5, steps=0):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+    from examples.e2e_fullframe import render_frame, scaled_cameras
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.detect import make_multi_person_detector
+    from multiview_motion_capture_tpu.data.ingest import FrameBatch
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.models.pose_net import PoseNet, PoseNetConfig
+    from multiview_motion_capture_tpu import pipeline
+
+    SCALE = 0.5
+    FRAME_HW = (388, 516)
+    CROP_HW = (256, 192)
+
+    cfg = PipelineConfig(n_views=n_views, max_people=6, max_tracks=8,
+                         max_frames=None, als_max_iter=100,
+                         ik_warm_stages=1, ik_solver="gj")
+    seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
+                             n_views=n_views, cfg=cfg, noise_px=0.0,
+                             drop_prob=0.0, seed=0)
+    cams_small = scaled_cameras(seq.cameras, SCALE)
+    rng = np.random.RandomState(0)
+    joint_colors = rng.uniform(0.3, 1.0, size=(17, 3))
+    kps_px = seq.batch.kps[..., :2] * SCALE
+
+    print("rendering frames...", file=sys.stderr)
+    images = np.stack([
+        np.stack([
+            render_frame(kps_px[f, v], seq.batch.valid[f, v], joint_colors,
+                         hw=FRAME_HW, sigma=3.0)
+            for v in range(n_views)
+        ]) for f in range(n_frames)
+    ]).astype(np.float32)
+
+    mcfg = PoseNetConfig(img_hw=(256, 192), predict_center=True)
+    model = PoseNet(mcfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1,) + mcfg.img_hw + (3,)))["params"]
+
+    detect = make_multi_person_detector(
+        mcfg, params, max_people=cfg.max_people, crop_hw=CROP_HW)
+
+    # warm up / compile
+    kps0, _, _ = detect(params, jnp.asarray(images[0]))
+    jax.block_until_ready(kps0)
+
+    # timed: per-frame detection over the sequence (the CNN work is identical
+    # whether the weights are trained or random, so random weights give the
+    # true throughput; tracked results below use ground-truth detections so
+    # the tracker stage is realistic too)
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        out, _, _ = detect(params, jnp.asarray(images[f]))
+    jax.block_until_ready(out)
+    detect_s = time.perf_counter() - t0
+
+    # tracking stage at the same scale (real detections)
+    batch = FrameBatch(
+        kps=np.concatenate([kps_px, seq.batch.kps[..., 2:]], axis=-1).astype(np.float32),
+        valid=seq.batch.valid,
+    )
+    res = pipeline.run(batch, cams_small, cfg, use_ik=True)
+
+    e2e_fps = n_frames / (detect_s + res.track_time_s)
+    print(json.dumps({
+        "metric": "detect_track_e2e_fps",
+        "value": round(e2e_fps, 2),
+        "unit": "frames/s",
+        "extra": {
+            "detect_fps": round(n_frames / detect_s, 2),
+            "track_fps": round(res.fps, 2),
+            "n_frames": n_frames,
+            "n_views": n_views,
+            "frame_hw": FRAME_HW,
+            "crop_hw": CROP_HW,
+            "model_input": mcfg.img_hw,
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    main(n_frames=args.frames)

@@ -1,0 +1,90 @@
+"""Scaled-rig benchmark (BASELINE config 4): 10+ cameras x 10 people.
+
+Measures association-only and full-IK fps on synthetic Panoptic-style
+sequences.  With the multi-tile fused ALS kernel the 10x10 config (N = 136)
+and a 20-cam rig (N = 216) both run the whole ADMM loop in one VMEM-resident
+pallas_call instead of the per-iteration XLA path.
+
+Run ON THE TPU (no --cpu), one process at a time:
+    python scripts/bench_scaled.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from multiview_motion_capture_tpu.config import PipelineConfig
+from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+from multiview_motion_capture_tpu.eval import mpjpe_vs_ground_truth
+from multiview_motion_capture_tpu.tracker import (
+    TrackerContext,
+    assemble_tracklets,
+    run_offline,
+)
+
+
+def bench_config(n_views, n_people, n_frames=200, als_backend="auto"):
+    cfg = PipelineConfig(
+        n_views=n_views, max_people=n_people, max_tracks=16,
+        max_frames=None, als_max_iter=100, ik_warm_stages=1, ik_solver="gj",
+        als_backend=als_backend,
+    )
+    seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
+                             n_views=n_views, cfg=cfg, seed=0,
+                             noise_px=1.0, drop_prob=0.05)
+    kps = jnp.asarray(seq.batch.kps)
+    valid = jnp.asarray(seq.batch.valid)
+    out = {}
+    for use_ik, name in ((False, "assoc_tri"), (True, "full_ik")):
+        ctx = TrackerContext.build(seq.cameras, cfg, use_ik=use_ik)
+        _, o = run_offline(ctx, kps, valid)       # compile
+        jax.block_until_ready(o.pose3d)
+        t0 = time.perf_counter()
+        _, o = run_offline(ctx, kps, valid)
+        jax.block_until_ready(o.pose3d)
+        dt = time.perf_counter() - t0
+        tlets = assemble_tracklets(jax.device_get(o))
+        long = [t for t in tlets if len(t) >= n_frames // 2]
+        mpjpe = mpjpe_vs_ground_truth(
+            long, seq.gt_3d,
+            joint_map=(None if not use_ik else None),
+        ) if not use_ik else float("nan")
+        out[name] = {
+            "fps": round(n_frames / dt, 1),
+            "n_tracklets": len(tlets),
+            "n_long": len(long),
+            "mpjpe_m": None if np.isnan(mpjpe) else round(mpjpe, 4),
+            "pallas_als": ctx.als_pallas_ctx is not None,
+            "n_matrix": cfg.n_matrix,
+        }
+    return out
+
+
+def main():
+    results = {
+        "10cam_x_10ppl": bench_config(10, 10),
+        "20cam_x_10ppl": bench_config(20, 10, n_frames=100),
+    }
+    print(json.dumps({
+        "metric": "scaled_rig_fps",
+        "value": results["10cam_x_10ppl"]["full_ik"]["fps"],
+        "unit": "frames/s",
+        "extra": {**results, "backend": jax.default_backend()},
+    }))
+
+
+if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    main()
