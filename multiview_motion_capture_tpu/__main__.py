@@ -61,6 +61,24 @@ def main(argv=None) -> int:
                             "fragments (bone-length + trajectory evidence)")
     _add_common(p_run)
 
+    p_det = sub.add_parser(
+        "detect",
+        help="camera frames -> tracklets, no OpenPose: on-device person "
+             "proposal + crop + keypoint CNN, then association/tracking/IK "
+             "(BASELINE config 5)",
+    )
+    p_det.add_argument("--image_dir", required=True,
+                       help="root with one subdir of frame images per camera")
+    p_det.add_argument("--calib_dir", required=True)
+    p_det.add_argument("--out_dir", required=True)
+    p_det.add_argument("--params", default=None,
+                       help="CNN parameter checkpoint (models.checkpoint); "
+                            "random init if omitted (smoke runs)")
+    p_det.add_argument("--crop_h", type=int, default=512)
+    p_det.add_argument("--crop_w", type=int, default=384)
+    p_det.add_argument("--no_ik", action="store_true")
+    _add_common(p_det)
+
     p_viz = sub.add_parser("viz", help="render tracklets to video")
     p_viz.add_argument("--tracklets", required=True)
     p_viz.add_argument("--calib_dir", required=True)
@@ -119,6 +137,74 @@ def main(argv=None) -> int:
             "fps": round(res.fps, 2),
             "n_tracklets": len(res.tracklets),
             "top_lengths": sorted((len(t) for t in res.tracklets), reverse=True)[:5],
+            "out": str(out_dir / "tracklets.pkl"),
+        }))
+        return 0
+
+    if args.mode == "detect":
+        import time
+
+        import numpy as np
+
+        from multiview_motion_capture_tpu import pipeline
+        from multiview_motion_capture_tpu.cameras import CameraBank
+        from multiview_motion_capture_tpu.data.detect import (
+            frames_to_frame_batch,
+            make_multi_person_detector,
+        )
+        from multiview_motion_capture_tpu.models.pose_net import PoseNet, PoseNetConfig
+
+        cams = CameraBank.from_json_dir(Path(args.calib_dir))
+        cfg = _config(args, n_views=cams.n_views)
+
+        import cv2
+
+        root = Path(args.image_dir)
+        cam_dirs = sorted(d for d in root.iterdir() if d.is_dir())
+        if len(cam_dirs) != cams.n_views:
+            parser.error(f"{len(cam_dirs)} image dirs vs {cams.n_views} calibs")
+        per_cam = [sorted(list(d.glob("*.jpg")) + list(d.glob("*.png")))
+                   for d in cam_dirs]
+        n = min(len(x) for x in per_cam)
+        if args.max_frames:
+            n = min(n, args.max_frames)
+        images = np.stack([
+            np.stack([
+                cv2.imread(str(per_cam[v][f]))[..., ::-1].astype(np.float32) / 255.0
+                for v in range(cams.n_views)
+            ]) for f in range(n)
+        ])
+
+        mcfg = PoseNetConfig(predict_center=True)
+        model = PoseNet(mcfg)
+        import jax
+        import jax.numpy as jnp
+
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1,) + mcfg.img_hw + (3,)))["params"]
+        if args.params:
+            from multiview_motion_capture_tpu.models.checkpoint import load_params
+
+            params = load_params(Path(args.params), params)
+
+        detect = make_multi_person_detector(
+            mcfg, params, max_people=cfg.max_people,
+            crop_hw=(args.crop_h, args.crop_w),
+        )
+        t0 = time.perf_counter()
+        batch = frames_to_frame_batch(detect, params, images, cfg)
+        detect_s = time.perf_counter() - t0
+        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik)
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)
+        total_s = detect_s + res.track_time_s
+        print(json.dumps({
+            "n_frames": n,
+            "detect_fps": round(n / max(detect_s, 1e-9), 2),
+            "track_fps": round(res.fps, 2),
+            "e2e_fps": round(n / max(total_s, 1e-9), 2),
+            "n_tracklets": len(res.tracklets),
             "out": str(out_dir / "tracklets.pkl"),
         }))
         return 0

@@ -6,14 +6,23 @@ runs over all views of a frame in one batch, heatmaps decode on device via
 soft-argmax, and the decoded (x, y, score) tensors feed straight into the
 association kernels without leaving the device.
 
-Single-person-per-crop design (SimpleBaseline-style): person boxes come from
-an upstream detector or, for multi-person full frames, from the top-down
-crop list supplied by the caller.  `detect_full_frames` handles the common
-case of pre-cropped person images per view.
+Two entry points:
+
+- `crops_to_frame_batch`: person boxes come from an upstream detector
+  (SimpleBaseline-style top-down on caller-provided crops).
+- `make_multi_person_detector` / `frames_to_frame_batch`: FULL multi-person
+  frames, no external detector — an on-device propose->crop->top-down
+  cascade replacing OpenPose's bottom-up multi-person capability
+  (ref:run_openpose.sh:10, consumed at ref:src/motion_capture.py:974-984):
+  stage 1 runs the CNN's person-center channel on the resized full frame
+  and multi-peak-NMS decodes up to P proposals; stage 2 dynamic-slices a
+  fixed window around each proposal (static shapes, vmapped) and runs the
+  same CNN top-down on the crops.  Everything between raw pixels and the
+  association kernels stays on device.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +33,9 @@ from multiview_motion_capture_tpu.data.ingest import FrameBatch
 from multiview_motion_capture_tpu.models.pose_net import (
     PoseNet,
     PoseNetConfig,
+    decode_center_peaks,
     decode_heatmaps,
+    decode_heatmaps_local,
 )
 
 Array = jnp.ndarray
@@ -75,3 +86,126 @@ def crops_to_frame_batch(
     out = jnp.concatenate([xy, kps[..., 2:3]], axis=-1)
     valid = np.asarray(crop_valid) & (np.asarray(kps[..., 2]).max(axis=-1) > min_score)
     return FrameBatch(kps=np.asarray(out, dtype=np.float32), valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# full-frame multi-person path (propose -> crop -> top-down)
+# ---------------------------------------------------------------------------
+
+def crop_windows(image: Array, centers_xy: Array, crop_hw: Tuple[int, int],
+                 out_hw: Tuple[int, int]) -> Tuple[Array, Array]:
+    """Fixed-size windows around (traced) centers, resized for the CNN.
+
+    Static shapes throughout: `lax.dynamic_slice` with clamped starts per
+    proposal (vmapped), then a bilinear resize to the model input.
+
+    image: (H, W, 3); centers_xy: (P, 2) frame pixels.
+    Returns (crops (P, out_h, out_w, 3), boxes (P, 4) [x1, y1, x2, y2]).
+    """
+    H, W = image.shape[:2]
+    ch, cw = crop_hw
+
+    def one(c):
+        x0 = jnp.clip(jnp.round(c[0] - cw / 2).astype(jnp.int32), 0, W - cw)
+        y0 = jnp.clip(jnp.round(c[1] - ch / 2).astype(jnp.int32), 0, H - ch)
+        crop = jax.lax.dynamic_slice(image, (y0, x0, 0), (ch, cw, 3))
+        crop = jax.image.resize(crop, tuple(out_hw) + (3,), method="linear")
+        box = jnp.asarray([x0, y0, x0 + cw, y0 + ch], dtype=image.dtype)
+        return crop, box
+
+    return jax.vmap(one)(centers_xy)
+
+
+def make_multi_person_detector(
+    model_cfg: PoseNetConfig,
+    params,
+    max_people: int,
+    crop_hw: Tuple[int, int],
+    full_hw: Optional[Tuple[int, int]] = None,
+    center_min_score: float = 0.1,
+    center_nms_window: int = 5,
+    kps_window: int = 5,
+    kps_center_prior: float = 0.0,
+):
+    """Build detect_fn(params, images) for FULL multi-person frames.
+
+    `model_cfg` must have `predict_center=True` (one model serves both
+    stages: its center channel proposes on the resized full frame, its
+    keypoint channels localize on each proposal crop).  The network is fully
+    convolutional, so the proposal pass runs at its own input size
+    `full_hw` (default: model input scaled to the 4:3-ish landscape of a
+    camera frame) while crops use `model_cfg.img_hw` — a landscape frame
+    squeezed into the portrait crop shape would destroy localization.
+
+    detect_fn: (V, H, W, 3) images -> (kps (V, max_people, K, 3) in frame
+    pixels, boxes (V, max_people, 4), valid (V, max_people)).
+    """
+    assert model_cfg.predict_center, "multi-person path needs the center channel"
+    model = PoseNet(model_cfg)
+    mh, mw = model_cfg.img_hw
+    K = model_cfg.n_kps
+    if full_hw is None:
+        full_hw = (mh, max(16, (mh * 4 // 3) // 16 * 16))
+    fh, fw = full_hw
+
+    @jax.jit
+    def detect(params, images):
+        V, H, W = images.shape[:3]
+        # accept uint8 frames: camera images should cross the host->device
+        # link at 1 byte/px (the f32 upload is 4x the bytes and dominates
+        # end-to-end time on tunneled TPUs); normalization is free on device
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+
+        # ---- stage 1: propose person centers on the resized full frame ----
+        small = jax.image.resize(images, (V, fh, fw, 3), method="linear")
+        heat = model.apply({"params": params}, small)
+        centers_hm, valid = decode_center_peaks(
+            heat[..., K], max_people,
+            min_score=center_min_score, nms_window=center_nms_window,
+        )  # heatmap px of the resized frame
+        hh, hw_ = heat.shape[1], heat.shape[2]
+        to_frame = jnp.asarray([W / hw_, H / hh], dtype=images.dtype)
+        centers_xy = centers_hm[..., :2] * to_frame          # (V, P, 2)
+
+        # ---- stage 2: crop fixed windows, run the CNN top-down ----
+        crops, boxes = jax.vmap(
+            lambda img, c: crop_windows(img, c, crop_hw, model_cfg.img_hw)
+        )(images, centers_xy)                                 # (V, P, ...)
+        # peak-local decoding: a crop can contain parts of OTHER people; the
+        # global soft-argmax would blend their peaks in
+        flat = crops.reshape(V * max_people, mh, mw, 3)
+        kps_hm = decode_heatmaps_local(
+            model.apply({"params": params}, flat)[..., :K],
+            window=kps_window, center_prior_sigma=kps_center_prior,
+        ).reshape(V, max_people, K, 3)
+        # heatmap px -> model px -> crop px -> frame px
+        scale = jnp.asarray([crop_hw[1] / mw, crop_hw[0] / mh],
+                            dtype=images.dtype) * 4.0
+        xy = kps_hm[..., :2] * scale + boxes[..., None, :2]
+        score = kps_hm[..., 2:3] * centers_hm[..., None, 2:3]
+        kps = jnp.concatenate([xy, score], axis=-1)
+        kps = kps * valid[..., None, None].astype(kps.dtype)
+        return kps, boxes, valid
+
+    return detect
+
+
+def frames_to_frame_batch(detect_fn, params, images, cfg: PipelineConfig) -> FrameBatch:
+    """Run the multi-person detector over a whole sequence.
+
+    images: (F, V, H, W, 3) float in [0, 1] (numpy or jax), one device
+    dispatch per frame (all V views batched inside detect_fn) so device
+    memory stays bounded; the result plugs into pipeline.run like prepared
+    OpenPose data.
+    """
+    F = images.shape[0]
+    P = cfg.max_people
+    kps_out = np.zeros((F, cfg.n_views, P, 17, 3), dtype=np.float32)
+    valid_out = np.zeros((F, cfg.n_views, P), dtype=bool)
+    for f in range(F):
+        kps, _, valid = detect_fn(params, jnp.asarray(images[f]))
+        n = min(P, kps.shape[1])
+        kps_out[f, :, :n] = np.asarray(kps)[:, :n]
+        valid_out[f, :, :n] = np.asarray(valid)[:, :n]
+    return FrameBatch(kps=kps_out, valid=valid_out)

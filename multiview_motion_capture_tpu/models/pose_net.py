@@ -34,6 +34,15 @@ class PoseNetConfig:
     head_features: int = 256
     img_hw: Tuple[int, int] = (256, 192)
     compute_dtype: Any = jnp.bfloat16
+    # adds a person-center heatmap channel (channel n_kps): the proposal
+    # stage of the full-frame multi-person path (data.detect), replacing
+    # OpenPose's bottom-up multi-person capability with an on-device
+    # propose->crop->top-down cascade
+    predict_center: bool = False
+
+    @property
+    def n_out(self) -> int:
+        return self.n_kps + (1 if self.predict_center else 0)
 
     @property
     def heatmap_hw(self) -> Tuple[int, int]:
@@ -89,7 +98,7 @@ class PoseNet(nn.Module):
                                  use_bias=False, dtype=c.compute_dtype)(x)
             x = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x).astype(c.compute_dtype)
             x = nn.relu(x)
-        heat = nn.Conv(c.n_kps, (1, 1), dtype=jnp.float32)(x)
+        heat = nn.Conv(c.n_out, (1, 1), dtype=jnp.float32)(x)
         return heat
 
 
@@ -110,6 +119,107 @@ def decode_heatmaps(heat: Array, temperature: float = 1.0) -> Array:
     score = jnp.max(prob, axis=1) * (H * W) / 16.0  # normalized peakiness
     score = jnp.clip(score, 0.0, 1.0)
     return jnp.stack([x, y, score], axis=-1)
+
+
+def decode_heatmaps_local(heat: Array, window: int = 5,
+                          temperature: float = 0.25,
+                          center_prior_sigma: float = 0.0) -> Array:
+    """Peak-local heatmap decoding: hard argmax, then soft-argmax refinement
+    inside a `window` x `window` patch around the peak.
+
+    The global soft-argmax (`decode_heatmaps`) blends ALL probability mass in
+    the map — a distractor person inside a top-down crop drags every joint
+    toward it.  Restricting the expectation to the dominant peak's
+    neighborhood keeps sub-pixel refinement while being immune to secondary
+    peaks (the multi-person crop case, data.detect stage 2).
+
+    `center_prior_sigma` > 0 makes the decode center-conditioned: the argmax
+    runs on the heatmap multiplied by a gaussian prior around the map center
+    (sigma in units of the map half-diagonal).  In a proposal-centered crop
+    the *proposed* person is the central one, so near-equal peaks from an
+    overlapping distractor resolve to the right identity; refinement and
+    score still use the raw map.
+
+    heat: (B, H, W, K) -> (B, K, 3) with (x, y, score) in heatmap pixels;
+    score = the peak's raw heatmap value clipped to [0, 1] (MSE-trained
+    gaussian targets peak near 1).
+    """
+    B, H, W, K = heat.shape
+    hm = jnp.moveaxis(heat, -1, 1).reshape(B * K, H, W)
+    if center_prior_sigma > 0:
+        ys = (jnp.arange(H, dtype=heat.dtype) - (H - 1) / 2) / (H / 2)
+        xs = (jnp.arange(W, dtype=heat.dtype) - (W - 1) / 2) / (W / 2)
+        d2 = ys[:, None] ** 2 + xs[None, :] ** 2
+        prior = jnp.exp(-d2 / (2 * center_prior_sigma ** 2))
+        sel = hm * prior[None]
+    else:
+        sel = hm
+    flat_idx = jnp.argmax(sel.reshape(B * K, H * W), axis=1)
+    py = (flat_idx // W).astype(jnp.int32)
+    px = (flat_idx % W).astype(jnp.int32)
+    half = window // 2
+
+    def one(m, cy, cx):
+        y0 = jnp.clip(cy - half, 0, max(H - window, 0))
+        x0 = jnp.clip(cx - half, 0, max(W - window, 0))
+        win = jax.lax.dynamic_slice(m, (y0, x0), (window, window))
+        p = jax.nn.softmax(win.reshape(-1) / temperature).reshape(window, window)
+        r = jnp.arange(window, dtype=heat.dtype)
+        y = jnp.sum(p.sum(axis=1) * r) + y0.astype(heat.dtype)
+        x = jnp.sum(p.sum(axis=0) * r) + x0.astype(heat.dtype)
+        score = jnp.clip(m[cy, cx], 0.0, 1.0)
+        return jnp.stack([x, y, score])
+
+    out = jax.vmap(one)(hm, py, px)  # (B*K, 3)
+    return out.reshape(B, K, 3)
+
+
+def decode_center_peaks(
+    center_heat: Array,
+    max_people: int,
+    min_score: float = 0.1,
+    nms_window: int = 5,
+) -> Tuple[Array, Array]:
+    """Multi-peak NMS decode of a person-center heatmap — the proposal stage
+    of the multi-person path (the capability OpenPose provides bottom-up,
+    ref:run_openpose.sh:10 consumed at ref:src/motion_capture.py:974-984).
+
+    A peak is a pixel that equals the max of its nms_window neighborhood and
+    exceeds min_score; the strongest `max_people` peaks are kept.  All
+    shapes static, fully on device.
+
+    center_heat: (B, H, W) -> (centers (B, max_people, 3) [x, y, score] in
+    heatmap pixels, valid (B, max_people) bool).
+    """
+    B, H, W = center_heat.shape
+    pool = jax.lax.reduce_window(
+        center_heat, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, nms_window, nms_window),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    is_peak = (center_heat >= pool) & (center_heat > min_score)
+    vals = jnp.where(is_peak, center_heat, -jnp.inf).reshape(B, H * W)
+    top_vals, idx = jax.lax.top_k(vals, max_people)
+    ys = (idx // W).astype(center_heat.dtype)
+    xs = (idx % W).astype(center_heat.dtype)
+    valid = jnp.isfinite(top_vals) & (top_vals > min_score)
+    centers = jnp.stack([xs, ys, jnp.where(valid, top_vals, 0.0)], axis=-1)
+    return centers, valid
+
+
+def center_targets(centers: Array, valid: Array, hw: Tuple[int, int],
+                   sigma: float = 3.0) -> Array:
+    """Ground-truth person-center heatmap: per-person gaussians combined by
+    max.  centers (B, P, 2) in heatmap pixels, valid (B, P) -> (B, H, W)."""
+    H, W = hw
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+    cy = centers[:, None, None, :, 1]
+    cx = centers[:, None, None, :, 0]
+    g = jnp.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * sigma ** 2))
+    g = g * valid[:, None, None, :]
+    return g.max(axis=-1)
 
 
 def gaussian_heatmaps(kps: Array, hw: Tuple[int, int], sigma: float = 2.0) -> Array:

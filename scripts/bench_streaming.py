@@ -39,12 +39,18 @@ def main():
     cams = CameraBank.from_json_dir(shelf / "calibs")
     F = min(300, batch.n_frames)
 
+    from multiview_motion_capture_tpu.tracker import TrackerState
+
     results = {}
     for k in (1, 4, 8, 16, 32):
         tracker = MvTracker(cams, cfg, use_ik=True)
-        # warm-up / compile on the first chunk shape
+        # warm-up / compile on the first chunk shape, then reset the state
+        # IN PLACE: building a new MvTracker would make a new context, whose
+        # chunk scan compiles separately (measured as a ~3.7 s first chunk)
         tracker.update_batch(list(range(k)), batch.kps[:k], batch.valid[:k])
-        tracker = MvTracker(cams, cfg, use_ik=True)  # fresh state, warm jit
+        tracker.state = TrackerState.zeros(cfg)
+        tracker.outputs.clear()
+        tracker.frame_idxs.clear()
 
         lat = []
         t0 = time.perf_counter()

@@ -162,22 +162,30 @@ def test_two_pass_matches_default_run():
 
 
 def test_reid_gated_in_pipeline():
-    """pipeline.run(reid=True) merges fragments; default leaves them alone."""
+    """pipeline.run(reid=True) merges fragments; default leaves them alone.
+
+    Two people (a one-person scene makes the spatial z-normalized affinity
+    degenerate — every same-person distance normalizes to ~0.5 and the
+    respawn grouping sits on a knife edge)."""
     from multiview_motion_capture_tpu.config import PipelineConfig
     from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
     from multiview_motion_capture_tpu import pipeline
 
     cfg = PipelineConfig(n_views=4, max_people=6, max_tracks=8, max_frames=None)
-    seq = synthetic_sequence(n_frames=14, n_people=1, n_views=4, cfg=cfg,
-                             drop_prob=0.0, seed=6)
-    # punch a one-frame hole: max_age=0 kills the track, a fragment respawns
+    seq = synthetic_sequence(n_frames=14, n_people=2, n_views=4, cfg=cfg,
+                             drop_prob=0.0, seed=6, min_person_distance=1.5)
+    # punch a one-frame hole: max_age=0 kills both tracks, fragments respawn
     batch = seq.batch
     batch.valid[7] = False
     res = pipeline.run(batch, seq.cameras, cfg, use_ik=True)
-    assert len(res.tracklets) == 2
+    assert len(res.tracklets) == 4
     res_m = pipeline.run(batch, seq.cameras, cfg, use_ik=True, reid=True)
-    assert len(res_m.tracklets) == 1
-    assert len(res_m.tracklets[0]) == sum(len(t) for t in res.tracklets)
+    assert len(res_m.tracklets) == 2
+    assert (sum(len(t) for t in res_m.tracklets)
+            == sum(len(t) for t in res.tracklets))
+    # each merged identity spans both sides of the hole
+    for t in res_m.tracklets:
+        assert t.frame_idxs[0] < 7 < t.frame_idxs[-1]
 
 
 def test_tools_calib_yaml(tmp_path):
