@@ -67,7 +67,6 @@ def run(
     skip_first_frame: bool = False,
     checkpoint_dir: Optional[Path] = None,
     checkpoint_every: int = 100,
-    two_pass: bool = False,
     reid: bool = False,
     reid_cfg=None,
 ) -> RunResult:
@@ -87,10 +86,12 @@ def run(
     resumes from the last completed chunk (the reference has no mid-run
     persistence at all, SURVEY.md §5).
 
-    `two_pass=True` (offline fast path): pass 1 tracks with triangulated
-    poses; pass 2 IK-solves every (tracklet, frame) pair in ONE batched LM
-    call (ops/ik_batch.py) — the sequential depth drops from frames x iters
-    to iters.
+    A "two-pass" mode (track on triangulated poses, then one giant batched
+    IK over every (tracklet, frame) pair) shipped in r1 to cut sequential
+    depth; it was removed in r2 after measuring 25 fps against the scanned
+    single pass's 518 fps — the batched while_loop runs until the slowest
+    of 2400 solves converges, and the premise (that the scan's sequential
+    depth was the bottleneck) stopped being true once the scan hit 500+ fps.
     """
     def _post(tracklets: List[Tracklet]) -> List[Tracklet]:
         if reid:
@@ -98,10 +99,6 @@ def run(
 
             return merge_tracklets(tracklets, reid_cfg)
         return tracklets
-
-    if two_pass and use_ik:
-        res = _run_two_pass(batch, cams, cfg, skip_first_frame)
-        return dataclasses.replace(res, tracklets=_post(res.tracklets))
     cfg = cfg or PipelineConfig(n_views=batch.n_views)
     timer = StageTimer()
 
@@ -176,72 +173,6 @@ def run(
     with timer.stage("assemble"):
         host_out = jax.device_get(outputs)
         tracklets = _post(assemble_tracklets(host_out, list(frame_idxs)))
-
-    return RunResult(
-        tracklets=tracklets,
-        n_frames=int(end - start),
-        wall_time_s=time.perf_counter() - t0,
-        track_time_s=track_time,
-        timings=timer.summary(),
-    )
-
-
-def _run_two_pass(
-    batch: FrameBatch,
-    cams: CameraBank,
-    cfg: Optional[PipelineConfig],
-    skip_first_frame: bool,
-) -> RunResult:
-    """Offline fast path: triangulation tracking + one batched IK solve."""
-    from multiview_motion_capture_tpu.ops.fk import Skeleton
-    from multiview_motion_capture_tpu.ops.ik_batch import solve_sequence_batch
-
-    cfg = cfg or PipelineConfig(n_views=batch.n_views)
-    timer = StageTimer()
-    with timer.stage("filter"):
-        batch = filter_bad_poses(batch, cfg)
-
-    start = 1 if skip_first_frame else 0
-    end = min(batch.n_frames, start + cfg.max_frames) if cfg.max_frames else batch.n_frames
-    kps = jnp.asarray(batch.kps[start:end])
-    valid = jnp.asarray(batch.valid[start:end])
-    frame_idxs = np.arange(batch.n_frames)[start:end]
-
-    with timer.stage("build_context"):
-        ctx = TrackerContext.build(cams, cfg, use_ik=False)
-        skel = Skeleton.default()
-
-    def _pass2(out):
-        params, joints = solve_sequence_batch(
-            skel, kps, out.matched_pose, out.updated, out.pose3d, ctx.cams.P,
-            tri_score=out.pose3d_score,
-            n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
-            lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
-            lam_down=cfg.ik_lm_damping_down,
-            solver=cfg.ik_solver, interpret=ctx.als_interpret,
-        )
-        return out._replace(
-            root=params.root,
-            euler=params.euler,
-            side_lens=params.side_lens,
-            pose3d=joints,
-            pose3d_score=jnp.ones_like(out.pose3d_score),
-        )
-
-    t0 = time.perf_counter()
-    with timer.stage("compile+track"):
-        state, out = run_offline(ctx, kps, valid)
-        out_ik = _pass2(out)
-        jax.block_until_ready(out_ik.pose3d)
-    with timer.stage("track"):
-        t1 = time.perf_counter()
-        state, out = run_offline(ctx, kps, valid)
-        out_ik = _pass2(out)
-        jax.block_until_ready(out_ik.pose3d)
-        track_time = time.perf_counter() - t1
-
-    with timer.stage("assemble"):
-        tracklets = assemble_tracklets(jax.device_get(out_ik), list(frame_idxs))
 
     return RunResult(
         tracklets=tracklets,

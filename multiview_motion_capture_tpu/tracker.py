@@ -314,20 +314,8 @@ def _gather_obs(kps: Array, matched_pose: Array, exists: Array) -> Tuple[Array, 
     return obs * w[:, :, None, None], w
 
 
-def make_step(ctx: TrackerContext, batch_mode: bool = False):
-    """Build the jitted per-frame step function.
-
-    `batch_mode=True` builds the vmap-friendly variant for
-    `run_offline_batched`: under vmap `lax.cond` lowers to `select`, so the
-    single-sequence step's cold/warm IK conds would BOTH run every frame for
-    the whole batch (the r1 "unusable at its stated purpose" failure).  The
-    batch variant instead runs ONE merged two-stage solve per frame whose
-    per-slot inits are selected cold (geometric, from triangulation) or warm
-    (previous params); untouched slots carry zero view weights and are seeded
-    converged, so the batched while_loop only runs as long as the slowest
-    *real* solve.  Same optimum, different iteration schedule than the
-    sequential scan (warm slots get the staged cold budget with early exit).
-    """
+def make_step(ctx: TrackerContext):
+    """Build the jitted per-frame step function."""
     cfg = ctx.cfg
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
     N = cfg.n_matrix
@@ -460,38 +448,7 @@ def make_step(ctx: TrackerContext, batch_mode: bool = False):
             root = 0.5 * (tri[_LHIP, :3] + tri[_RHIP, :3])
             return tri, root
 
-        if ctx.use_ik and batch_mode:
-            # merged cold+warm solve (see docstring): always triangulate the
-            # spawn candidates, select per-slot inits, one staged LM call
-            cold_tri, cold_roots = jax.vmap(cold_init)(new_obs, new_w)
-            cold_euler = jax.vmap(lambda t: ik_ops.geometric_init(t, skel))(cold_tri)
-            sel_s, sel_u = spawned, update_mask
-            init = ik_ops.IkParams(
-                root=jnp.where(sel_s[:, None], cold_roots, state.root),
-                euler=jnp.where(sel_s[:, None, None], cold_euler, state.euler),
-                side_lens=jnp.where(
-                    sel_s[:, None],
-                    jnp.broadcast_to(skel.side_bone_lens, (T, 11)),
-                    state.side_lens,
-                ),
-            )
-            obs = jnp.where(sel_s[:, None, None, None], new_obs, upd_obs)
-            w = jnp.where(sel_s[:, None], new_w, upd_w)
-            params, joints = ik_ops.solve_two_stage(
-                init, skel, obs, w, ctx.cams.P,
-                n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
-                lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
-                lam_down=cfg.ik_lm_damping_down,
-                solver=cfg.ik_solver, interpret=ctx.als_interpret,
-            )
-            touched_ik = sel_s | sel_u
-            new_root = jnp.where(touched_ik[:, None], params.root, state.root)
-            new_euler = jnp.where(touched_ik[:, None, None], params.euler, state.euler)
-            new_side = jnp.where(touched_ik[:, None], params.side_lens, state.side_lens)
-            new_pose3d = jnp.where(touched_ik[:, None, None], joints, state.pose3d)
-            new_score = jnp.where(touched_ik[:, None],
-                                  jnp.ones_like(state.pose3d_score), state.pose3d_score)
-        elif ctx.use_ik:
+        if ctx.use_ik:
             any_update = jnp.any(update_mask)
             any_spawn = jnp.any(spawned)
 
@@ -748,37 +705,15 @@ def run_offline(
     return _scan_fn(ctx)(kps, valid)
 
 
-def run_offline_batched(
-    ctx: TrackerContext, kps: Array, valid: Array
-) -> Tuple[TrackerState, FrameOutput]:
-    """Track B independent sequences concurrently: `lax.scan` over frames of
-    the *vmapped* step — a serving-throughput mode with no reference
-    analogue.
-
-    Uses the batch-friendly step variant (`make_step(ctx, batch_mode=True)`
-    when IK is on): one merged cold+warm solve per frame instead of two
-    `lax.cond` branches that would BOTH lower to always-on `select`s under
-    vmap.  IK results can differ from `run_offline` at the last-LM-step level
-    (warm slots run the staged cold schedule with early exit — same optimum).
-    Association while-loops still run to the max iteration count across the
-    batch; that is inherent to batching sequences.
-
-    kps: (B, F, V, P, K, 3); valid: (B, F, V, P).
-    Returns (states (B, ...), outputs with leading (F, B, ...))."""
-
-    def build():
-        step = jax.vmap(make_step(ctx, batch_mode=ctx.use_ik))
-
-        @jax.jit
-        def scan_all(kps, valid):
-            B = kps.shape[0]
-            state0 = jax.vmap(lambda _: TrackerState.zeros(ctx.cfg))(jnp.arange(B))
-            frames = (jnp.swapaxes(kps, 0, 1), jnp.swapaxes(valid, 0, 1))
-            return jax.lax.scan(step, state0, frames)
-
-        return scan_all
-
-    return _cached_scan(("batched", id(ctx)), ctx, build)(kps, valid)
+# NOTE: a `run_offline_batched` mode (B sequences through one vmapped scan)
+# shipped in r1 and was rebuilt in r2 around a merged cold+warm solve; it
+# was removed after measurement: B=4 identical Shelf streams reached 155
+# aggregate fps against 518 fps from simply scanning the streams one after
+# another (vmap forces every stream to pay the slowest stream's association
+# and LM iteration counts each frame, and the fused ALS kernel cannot batch
+# its SMEM scalar output).  On one chip, sequential `run_offline` IS the
+# serving mode; across chips, map sequences to devices and run it per
+# device (docs/PERF.md).
 
 
 def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:

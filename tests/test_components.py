@@ -142,25 +142,6 @@ def test_checkpoint_resume(tmp_path):
         np.testing.assert_allclose(a.poses_3d, b.poses_3d, atol=1e-5)
 
 
-def test_two_pass_matches_default_run():
-    """Offline two-pass mode (triangulation tracking + ONE batched IK solve)
-    reaches the same tracks and near-identical poses as the scanned
-    per-frame IK (same least-squares problem, different schedule)."""
-    from multiview_motion_capture_tpu.config import PipelineConfig
-    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
-    from multiview_motion_capture_tpu import pipeline
-
-    cfg = PipelineConfig(n_views=4, max_people=6, max_tracks=8, max_frames=None)
-    seq = synthetic_sequence(n_frames=8, n_people=2, n_views=4, cfg=cfg,
-                             drop_prob=0.0, seed=4)
-    res_a = pipeline.run(seq.batch, seq.cameras, cfg, use_ik=True)
-    res_b = pipeline.run(seq.batch, seq.cameras, cfg, use_ik=True, two_pass=True)
-    assert len(res_a.tracklets) == len(res_b.tracklets)
-    for a, b in zip(res_a.tracklets, res_b.tracklets):
-        assert a.frame_idxs == b.frame_idxs
-        assert np.linalg.norm(a.poses_3d - b.poses_3d, axis=-1).mean() < 0.02
-
-
 def test_reid_gated_in_pipeline():
     """pipeline.run(reid=True) merges fragments; default leaves them alone.
 

@@ -131,61 +131,6 @@ def test_tentative_track_dies_after_one_miss():
     assert (died[2] >= 0).any()
 
 
-def test_batched_multi_sequence_matches_single(seq):
-    """Serving mode: B sequences through one vmapped scan == per-sequence."""
-    import dataclasses
-    from multiview_motion_capture_tpu.tracker import (
-        FrameOutput,
-        run_offline_batched,
-    )
-
-    cfg = dataclasses.replace(CFG, als_backend="xla")
-    seq2 = synthetic_sequence(n_frames=8, n_people=2, n_views=4, cfg=cfg,
-                              seed=21, drop_prob=0.0)
-    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=False)
-    kps = jnp.stack([jnp.asarray(seq.batch.kps), jnp.asarray(seq2.batch.kps)])
-    valid = jnp.stack([jnp.asarray(seq.batch.valid), jnp.asarray(seq2.batch.valid)])
-    _, outs = run_offline_batched(ctx, kps, valid)
-    outs = jax.device_get(outs)
-    for b, s in enumerate((seq, seq2)):
-        _, single = run_offline(ctx, jnp.asarray(s.batch.kps), jnp.asarray(s.batch.valid))
-        a = assemble_tracklets(jax.device_get(single))
-        c = assemble_tracklets(FrameOutput(
-            *[np.asarray(getattr(outs, f))[:, b] for f in FrameOutput._fields]))
-        assert len(a) == len(c)
-        for x, y in zip(a, c):
-            assert x.frame_idxs == y.frame_idxs
-            np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-5)
-
-
-def test_batched_ik_mode_matches_single(seq):
-    """Batched serving mode with IK on: the merged cold+warm solve (no
-    cond->select blowup under vmap) reaches the same tracks and poses as the
-    sequential scan (same least-squares optimum, different LM schedule)."""
-    import dataclasses
-    from multiview_motion_capture_tpu.tracker import (
-        FrameOutput,
-        run_offline_batched,
-    )
-
-    cfg = dataclasses.replace(CFG, als_backend="xla")
-    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=True)
-    kps = jnp.stack([jnp.asarray(seq.batch.kps)] * 2)
-    valid = jnp.stack([jnp.asarray(seq.batch.valid)] * 2)
-    _, outs = run_offline_batched(ctx, kps, valid)
-    outs = jax.device_get(outs)
-    _, single = run_offline(ctx, jnp.asarray(seq.batch.kps), jnp.asarray(seq.batch.valid))
-    a = assemble_tracklets(jax.device_get(single))
-    for b in range(2):
-        c = assemble_tracklets(FrameOutput(
-            *[np.asarray(getattr(outs, f))[:, b] for f in FrameOutput._fields]))
-        assert len(a) == len(c)
-        for x, y in zip(a, c):
-            assert x.frame_idxs == y.frame_idxs
-            # same optimum, different iteration schedule -> small tolerance
-            assert np.linalg.norm(x.poses_3d - y.poses_3d, axis=-1).mean() < 0.02
-
-
 def test_scan_cache_identity_guard(seq):
     """Regression (VERDICT r1 weak #3): the per-context scan cache must never
     serve a scan compiled for a *different* context that happens to share the
