@@ -77,14 +77,24 @@ def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
 
     G: (pad, pad); RHS: (pad, pad).  Returns (pad, pad).
     """
-    # full padded height: G + lam I is block-diagonal (the true block, then
-    # lam on the padded diagonal), so eliminating only the first rank_pad
-    # pivots never touches the padded rows — whose RHS (and hence solution)
-    # is exactly zero, matching the full padded solve.  Slices/concats stay
-    # tile-aligned (Mosaic rejects offset slices on non-concat dims).
+    # Only the leading rank-block of the system is real: A's columns past
+    # rank_pad are zero, so G's rows/cols and RHS's ROWS past rank_pad are
+    # zero, and the solution rows there are zero too (lam x = 0).  The
+    # elimination therefore runs on an 8-aligned (rb, rb + pad) slice — a
+    # 4-8x smaller working set per VPU step than the full (pad, 2 pad)
+    # augmented block (zero-offset slices keep Mosaic's layout rules happy;
+    # the lane dim is padded to a tile internally either way, but the
+    # sublane height is what each masked-select step pays for).
     pad = G.shape[0]
-    A_full = G + lam * jnp.eye(pad, dtype=G.dtype)
-    aug = jnp.concatenate([A_full, RHS], axis=1)  # (pad, 2*pad)
+    rb = min(pad, max(32, rank_pad))  # 8-aligned block height
+    eye_full = (
+        jax.lax.broadcasted_iota(jnp.int32, (rb, pad), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (rb, pad), 1)
+    ).astype(G.dtype)
+    # rows only (sublane dim): lanes stay at the full tile width — a 32-lane
+    # slice forces per-step relayouts that explode Mosaic compile time
+    A_blk = G[:rb, :] + lam * eye_full           # (rb, pad)
+    aug = jnp.concatenate([A_blk, RHS[:rb, :]], axis=1)  # (rb, 2*pad)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, aug.shape, 0)
     for k in range(rank_pad):  # static unroll: SPD + ridge needs no pivoting
         pivot_row = aug[k : k + 1, :] / aug[k, k]
@@ -93,7 +103,10 @@ def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
         # (masked select instead of .at[].set — scatter updates capture index
         # constants the pallas tracer rejects)
         aug = jnp.where(row_ids == k, pivot_row, aug - col * pivot_row)
-    return aug[:, pad:]  # (pad, pad)
+    sol = aug[:, pad:]  # (rb, pad); rows in [rank_pad, rb) are exactly zero
+    return jnp.concatenate(
+        [sol, jnp.zeros((pad - rb, pad), dtype=G.dtype)], axis=0
+    )
 
 
 def _als_kernel(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
