@@ -47,6 +47,13 @@ class ReidConfig:
     max_position_m: float = 0.6     # gate on extrapolated-root distance
     position_slack_m_per_frame: float = 0.02  # extra allowance per gap frame
     max_bone_mahalanobis: float = 4.0  # gate on bone-length residual RMS
+    # a track's final frames often drift as its views disappear, so the
+    # position gate can reject a continuation the bone evidence proves.
+    # When BOTH fragments' bone statistics agree this strongly (measured on
+    # Shelf: same-person RMS ~0.3 sigma vs 0.65+ for different people), the
+    # position gate is widened by the factor below.
+    strong_bone_mahalanobis: float = 0.5
+    strong_bone_pos_factor: float = 2.5
     bone_sigma_floor_m: float = 0.02   # std floor: long stable tracks would
                                        # otherwise reject everything
     velocity_window: int = 5        # frames used for the velocity estimate
@@ -112,20 +119,8 @@ def _pair_cost(a: _Fragment, b: _Fragment, cfg: ReidConfig) -> float:
     if gap < 1 or gap > cfg.max_gap_frames:
         return np.inf
 
-    # trajectory gate: forward and backward constant-velocity extrapolation
-    fwd = a.root_end + a.vel_end * gap
-    bwd = b.root_start - b.vel_start * gap
-    d_pos = min(
-        float(np.linalg.norm(fwd - b.root_start)),
-        float(np.linalg.norm(bwd - a.root_end)),
-        float(np.linalg.norm(a.root_end - b.root_start)),
-    )
-    gate = cfg.max_position_m + cfg.position_slack_m_per_frame * gap
-    if d_pos > gate:
-        return np.inf
-
-    # bone-length identity gate (Mahalanobis under a's fitted prior and b's,
-    # symmetrized); skipped when either side has no meaningful statistics
+    # bone-length identity evidence (Mahalanobis under a's fitted prior and
+    # b's, symmetrized); None when either side has no meaningful statistics
     d_bone = 0.0
     n_tests = 0
     for x, y in ((a, b), (b, a)):
@@ -137,6 +132,21 @@ def _pair_cost(a: _Fragment, b: _Fragment, cfg: ReidConfig) -> float:
         d_bone /= n_tests
         if d_bone > cfg.max_bone_mahalanobis:
             return np.inf
+
+    # trajectory gate: forward and backward constant-velocity extrapolation;
+    # widened when the bone evidence is strong (see ReidConfig)
+    fwd = a.root_end + a.vel_end * gap
+    bwd = b.root_start - b.vel_start * gap
+    d_pos = min(
+        float(np.linalg.norm(fwd - b.root_start)),
+        float(np.linalg.norm(bwd - a.root_end)),
+        float(np.linalg.norm(a.root_end - b.root_start)),
+    )
+    gate = cfg.max_position_m + cfg.position_slack_m_per_frame * gap
+    if n_tests and d_bone < cfg.strong_bone_mahalanobis:
+        gate *= cfg.strong_bone_pos_factor
+    if d_pos > gate:
+        return np.inf
 
     return cfg.w_position * d_pos + cfg.w_bone * d_bone
 
