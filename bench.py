@@ -8,7 +8,6 @@ reports steady-state frames/second vs the >100 FPS north-star
 from __future__ import annotations
 
 import json
-import sys
 import time
 from pathlib import Path
 

@@ -69,7 +69,6 @@ def main(steps=400, n_frames=8, n_people=2, n_views=4, seed=0,
 
     from multiview_motion_capture_tpu.config import PipelineConfig
     from multiview_motion_capture_tpu.data.detect import (
-        crop_windows,
         frames_to_frame_batch,
         make_multi_person_detector,
     )

@@ -18,8 +18,6 @@ Shapes are static: D (param dim) is a Python constant per instantiation.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

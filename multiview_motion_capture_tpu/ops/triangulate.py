@@ -20,7 +20,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from multiview_motion_capture_tpu.ops.geometry import project_points
 from multiview_motion_capture_tpu.utils.precision import high_precision
 
 Array = jnp.ndarray

@@ -12,8 +12,6 @@ tp boundaries) on ICI.
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

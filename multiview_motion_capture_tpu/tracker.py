@@ -27,7 +27,6 @@ Deliberate deviations (documented per SURVEY.md §8):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -43,7 +42,7 @@ from multiview_motion_capture_tpu.cameras import (
 from multiview_motion_capture_tpu.config import PipelineConfig
 from multiview_motion_capture_tpu.ops import association as assoc
 from multiview_motion_capture_tpu.ops import geometry as geom
-from multiview_motion_capture_tpu.ops.fk import Skeleton, forward_kinematics
+from multiview_motion_capture_tpu.ops.fk import Skeleton
 from multiview_motion_capture_tpu.ops import ik as ik_ops
 from multiview_motion_capture_tpu.ops.triangulate import triangulate_points
 from multiview_motion_capture_tpu.pose_def import (

@@ -13,7 +13,7 @@ import dataclasses
 import io
 import pickle
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, List
 
 import numpy as np
 

@@ -10,7 +10,7 @@ against, since the shipped golden pickle used different calibration.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 from scipy.optimize import least_squares
