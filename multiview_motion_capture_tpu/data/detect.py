@@ -104,6 +104,11 @@ def crop_windows(image: Array, centers_xy: Array, crop_hw: Tuple[int, int],
     """
     H, W = image.shape[:2]
     ch, cw = crop_hw
+    if ch > H or cw > W:
+        raise ValueError(
+            f"crop window {crop_hw} exceeds the image ({H}, {W}); "
+            "dynamic_slice cannot produce out-of-bounds sizes"
+        )
 
     def one(c):
         x0 = jnp.clip(jnp.round(c[0] - cw / 2).astype(jnp.int32), 0, W - cw)

@@ -43,6 +43,36 @@ def test_crop_windows_clip_and_map():
     )
 
 
+def test_crop_window_larger_than_image_rejected():
+    from multiview_motion_capture_tpu.data.detect import crop_windows
+    import pytest
+
+    img = jnp.zeros((40, 60, 3))
+    with pytest.raises(ValueError, match="exceeds the image"):
+        crop_windows(img, jnp.zeros((2, 2)), (64, 48), (64, 48))
+
+
+def test_decode_local_resists_distractor_peak():
+    """A secondary person's peak inside a crop must not drag the decode
+    (the global soft-argmax failure mode that motivated the local decode)."""
+    from multiview_motion_capture_tpu.models.pose_net import (
+        decode_heatmaps,
+        decode_heatmaps_local,
+    )
+
+    H, W = 32, 24
+    ys, xs = np.mgrid[0:H, 0:W]
+    main_pk = np.exp(-((ys - 10.0) ** 2 + (xs - 12.0) ** 2) / (2 * 1.5 ** 2))
+    distract = 0.9 * np.exp(-((ys - 26.0) ** 2 + (xs - 4.0) ** 2) / (2 * 1.5 ** 2))
+    heat = jnp.asarray((main_pk + distract)[None, :, :, None])
+
+    g = np.asarray(decode_heatmaps(heat, temperature=1.0))[0, 0]
+    l = np.asarray(decode_heatmaps_local(heat))[0, 0]
+    assert np.linalg.norm(l[:2] - [12, 10]) < 0.5, l
+    # the global soft-argmax is dragged toward the distractor
+    assert np.linalg.norm(g[:2] - [12, 10]) > 2.0, g
+
+
 def test_fullframe_multiperson_end_to_end():
     """Raw multi-person frames -> proposals -> crops -> keypoints ->
     tracking; no OpenPose, no caller-provided crops (VERDICT r1 missing #4).
