@@ -38,12 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 TILE = 128
-# largest padded matrix the fused kernel accepts: 2x2 MXU tiles (a 256-wide
-# association matrix covers a 20-cam x 10-people rig at N = 216).  All six
-# live (pad, pad) f32 state matrices plus the (pad, 2 pad) GJ workspace fit
-# VMEM with room to spare (~3.5 MB at 256); beyond this the XLA while-loop
+# largest padded matrix the fused kernel accepts: 3x3 MXU tiles (a 384-wide
+# association matrix covers a 32-cam x 10-people rig at N = 336).  All six
+# live (pad, pad) f32 state matrices plus the rank-row GJ workspace fit
+# VMEM with room to spare (~4.5 MB at 384); beyond this the XLA while-loop
 # path takes over.
-MAX_PAD = 256
+MAX_PAD = 384
 
 
 def pad_for(n: int) -> int:

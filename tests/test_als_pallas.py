@@ -91,6 +91,31 @@ def test_pallas_multitile_matches_xla(seed):
     np.testing.assert_array_equal(np.asarray(gp.member), np.asarray(gx.member))
 
 
+def test_pallas_three_tile_matches_xla():
+    """N > 256 (three 128-tiles): the 30+ camera rigs (N = 336 for 32x10)."""
+    sizes = tuple(np.random.RandomState(7).randint(10, 13, size=26))
+    W, groups, sizes = _random_problem(5, sizes=sizes, n_people=12)
+    n = len(groups)
+    assert n > 2 * AP.TILE
+    mask = A.block_diag_mask(sizes)
+    init = A.default_init_factor(n, 20)
+
+    xla = A.match_als(jnp.asarray(W), jnp.asarray(mask), jnp.asarray(init),
+                      stable_iters=5, max_iter=40)
+    ctx = AP.PallasAlsContext.build(n, mask, init)
+    assert ctx.pad == 384
+    x_pal, _ = AP.match_als_pallas(
+        AP.pad_similarity(jnp.asarray(W), ctx.pad), ctx.keep, ctx.eye_t,
+        ctx.init_A, ctx.n_true, stable_iters=5, max_iter=40, rank=ctx.rank,
+        interpret=True,
+    )
+    x_pal = np.asarray(x_pal)[:n, :n]
+    gp = A.extract_groups(jnp.asarray(x_pal), jnp.ones(n, dtype=bool))
+    gx = A.extract_groups(jnp.asarray(xla.x_bin), jnp.ones(n, dtype=bool))
+    np.testing.assert_array_equal(np.asarray(gp.rep), np.asarray(gx.rep))
+    np.testing.assert_array_equal(np.asarray(gp.member), np.asarray(gx.member))
+
+
 def test_pallas_padding_stays_zero():
     W, groups, sizes = _random_problem(7)
     n = len(groups)
