@@ -97,9 +97,18 @@ def _fragment_features(t: Tracklet, idx: int, cfg: ReidConfig) -> _Fragment:
     vel_end = (re - rs) / span_e if k > 1 else np.zeros(3)
 
     bone_mean = bone_std = side_mean = None
-    if L >= cfg.min_frames_for_prior:
-        if t.side_lens is not None and len(t.side_lens):
-            side_mean = np.asarray(t.side_lens, dtype=np.float64).mean(axis=0)
+    # bone evidence only exists for IK tracklets: triangulation-mode output
+    # carries all-zero side_lens and COCO+spine-ordered points (NOT BASIC_18
+    # skeleton order), so fitting a skeleton bone prior there would produce
+    # garbage statistics that wrongly reject every continuation — such
+    # fragments fall back to the trajectory gate alone.
+    is_ik = (
+        t.side_lens is not None
+        and len(t.side_lens)
+        and bool(np.any(np.asarray(t.side_lens)))
+    )
+    if L >= cfg.min_frames_for_prior and is_ik:
+        side_mean = np.asarray(t.side_lens, dtype=np.float64).mean(axis=0)
         if t.poses_3d.shape[1] == 18:
             prior = fit_bone_prior(np.asarray(t.poses_3d, dtype=np.float64))
             m, s = prior.side_prior()

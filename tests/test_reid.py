@@ -85,6 +85,28 @@ def test_gates_reject_wrong_matches():
     assert match_fragments([a, d]) == []
 
 
+def test_triangulation_mode_merges_on_trajectory_alone():
+    """Triangulation-mode tracklets (use_ik=False) carry all-zero side_lens
+    and COCO-ordered points: the bone gate must be SKIPPED, not fed garbage
+    statistics that reject every merge (regression)."""
+    import dataclasses
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu import pipeline
+
+    cfg = PipelineConfig(n_views=4, max_people=6, max_tracks=8, max_frames=None)
+    seq = synthetic_sequence(n_frames=14, n_people=2, n_views=4, cfg=cfg,
+                             drop_prob=0.0, seed=6, min_person_distance=1.5)
+    seq.batch.valid[7] = False
+    res = pipeline.run(seq.batch, seq.cameras, cfg, use_ik=False)
+    assert len(res.tracklets) == 4
+    assert not np.any(res.tracklets[0].side_lens)  # tri mode: no bone data
+    merged = merge_tracklets(res.tracklets)
+    assert len(merged) == 2
+    for t in merged:
+        assert t.frame_idxs[0] < 7 < t.frame_idxs[-1]
+
+
 def test_trajectory_extrapolation_bridges_moving_person():
     """A fast mover: endpoints are far apart, but constant-velocity
     extrapolation across the gap lands on the new fragment's start."""
