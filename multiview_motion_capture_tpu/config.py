@@ -49,8 +49,8 @@ class PipelineConfig:
     # for this many iterations (0 = reference's residual-only test, which in
     # practice runs all 1000 iterations; see ops/association.py)
     als_stable_iters: int = 15
-    # "auto": fused Pallas kernel on TPU (when the matrix fits MAX_PAD=256,
-    # i.e. up to a ~20-cam x 10-people rig), XLA while-loop elsewhere; or
+    # "auto": fused Pallas kernel on TPU (when the matrix fits MAX_PAD=384,
+    # i.e. up to a ~32-cam x 10-people rig), XLA while-loop elsewhere; or
     # force "xla" / "pallas"
     als_backend: str = "auto"
 
