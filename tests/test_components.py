@@ -245,3 +245,31 @@ def test_viz_smoke(tmp_path):
         assert vid.stat().st_size > 0
     fig = viz.plot_tracklets_3d(tlets, tmp_path / "traj.png")
     assert fig.exists() and fig.stat().st_size > 0
+
+
+def test_eval_counts_degenerate_poses():
+    """eval.reprojection_metrics must COUNT non-finite poses, not silently
+    drop them from the error statistics (VERDICT r1 weak #8)."""
+    from multiview_motion_capture_tpu.cameras import synthetic_camera_ring
+    from multiview_motion_capture_tpu.data.ingest import FrameBatch
+    from multiview_motion_capture_tpu.eval import reprojection_metrics
+    from multiview_motion_capture_tpu.tracker import Tracklet
+
+    cams = synthetic_camera_ring(3)
+    kps = np.zeros((2, 3, 2, 17, 3), dtype=np.float32)
+    kps[..., 2] = 0.9
+    batch = FrameBatch(kps=kps, valid=np.ones((2, 3, 2), dtype=bool))
+    poses = np.zeros((2, 18, 3), dtype=np.float32)
+    poses[1] = np.nan  # frame 1's pose is degenerate
+    t = Tracklet(
+        track_id=0, frame_idxs=[0, 1],
+        roots=np.zeros((2, 3), dtype=np.float32),
+        eulers=np.zeros((2, 18, 3), dtype=np.float32),
+        side_lens=np.ones((2, 11), dtype=np.float32),
+        poses_3d=poses,
+        poses_score=np.ones((2, 18), dtype=np.float32),
+        matched_pose=np.zeros((2, 3), dtype=np.int32),
+    )
+    m = reprojection_metrics([t], batch, cams)
+    assert m.n_degenerate_poses == 1
+    assert np.isfinite(m.mean_reproj_px)

@@ -100,3 +100,37 @@ def test_sharded_tracker_matches_unsharded_20cam():
     for x, y in zip(a, b):
         assert x.frame_idxs == y.frame_idxs
         np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_st_epipolar_matches_single_device():
+    """The camera-sharded score-gated epipolar block == the local kernel
+    (NaN positions included — the no-qualifying-keypoint sentinel)."""
+    from multiview_motion_capture_tpu.ops.geometry import (
+        masked_symmetric_epipolar_error,
+    )
+    from multiview_motion_capture_tpu.parallel.sharded_association import (
+        sharded_st_epipolar,
+    )
+
+    mesh = make_mesh(4)
+    V, Pp, K = 8, 3, 17
+    cams = synthetic_camera_ring(V)
+    F = jnp.asarray(
+        pairwise_fundamental_np(np.asarray(cams.K), np.asarray(cams.Rt)),
+        dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(3)
+    kps = rng.rand(V, Pp, K, 3).astype(np.float32)
+    kps[..., :2] *= 400.0
+    kps[..., 2] = rng.choice([0.0, 0.05, 0.9], size=(V, Pp, K))  # gate mix
+
+    ka = jnp.asarray(kps)[:, :, None, None, :, :]
+    kb = jnp.asarray(kps)[None, None, :, :, :, :]
+    Fab = F[:, None, :, None, :, :]
+    ref = np.asarray(masked_symmetric_epipolar_error(ka, kb, Fab, 0.1))
+    out = np.asarray(sharded_st_epipolar(jnp.asarray(kps), F, 0.1, mesh, "dp"))
+    assert out.shape == ref.shape == (V, Pp, V, Pp)
+    np.testing.assert_array_equal(np.isnan(out), np.isnan(ref))
+    m = ~np.isnan(ref)
+    np.testing.assert_allclose(out[m], ref[m], rtol=1e-4, atol=1e-3)
