@@ -208,7 +208,7 @@ def main(steps=400, n_frames=8, n_people=2, n_views=4, seed=0,
 
     # ---- full multi-person detection + tracking ----
     detect = make_multi_person_detector(
-        mcfg, params, max_people=cfg.max_people, crop_hw=CROP_HW,
+        mcfg, max_people=cfg.max_people, crop_hw=CROP_HW,
         full_hw=FULL_HW, center_min_score=0.2, center_nms_window=5,
     )
     det_batch = frames_to_frame_batch(detect, params, images, cfg)

@@ -73,7 +73,11 @@ def main(argv=None) -> int:
     p_det.add_argument("--out_dir", required=True)
     p_det.add_argument("--params", default=None,
                        help="CNN parameter checkpoint (models.checkpoint); "
-                            "random init if omitted (smoke runs)")
+                            "defaults to the shipped checkpoint "
+                            "(models/checkpoints/posenet_synth.npz) if present")
+    p_det.add_argument("--smoke", action="store_true",
+                       help="allow running with RANDOM-INIT weights (output "
+                            "is noise; pipeline smoke-testing only)")
     p_det.add_argument("--crop_h", type=int, default=512)
     p_det.add_argument("--crop_w", type=int, default=384)
     p_det.add_argument("--no_ik", action="store_true")
@@ -182,13 +186,24 @@ def main(argv=None) -> int:
 
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1,) + mcfg.img_hw + (3,)))["params"]
-        if args.params:
+        params_path = args.params
+        if params_path is None:
+            shipped = (Path(__file__).parent / "models" / "checkpoints"
+                       / "posenet_synth.npz")
+            if shipped.exists():
+                params_path = str(shipped)
+        if params_path:
             from multiview_motion_capture_tpu.models.checkpoint import load_params
 
-            params = load_params(Path(args.params), params)
+            params = load_params(Path(params_path), params)
+        elif not args.smoke:
+            parser.error(
+                "no trained weights: pass --params <checkpoint>, or --smoke "
+                "to run with random-init weights (the output would be noise)"
+            )
 
         detect = make_multi_person_detector(
-            mcfg, params, max_people=cfg.max_people,
+            mcfg, max_people=cfg.max_people,
             crop_hw=(args.crop_h, args.crop_w),
         )
         t0 = time.perf_counter()

@@ -80,6 +80,33 @@ class PipelineConfig:
     # ---- run-mode driver (ref:src/motion_capture.py:1058-1060) -------------
     max_frames: Optional[int] = 300
 
+    @classmethod
+    def fast(cls, **overrides) -> "PipelineConfig":
+        """Non-parity speed preset (~11% faster Shelf end-to-end, measured
+        780 vs 700 fps in docs/PERF.md).
+
+        Identical to the parity defaults except `als_stable_iters=6`: the
+        ALS early-exit fires after 6 unchanged binarizations instead of 10.
+        The reference's residual-only convergence test effectively runs all
+        1000 iterations (ref:src/mv_association.py:261,275), so ANY early
+        exit is a deviation; 10 was chosen because it reproduces the parity
+        run bit-exactly on Shelf, 6 perturbs near-threshold association on
+        ~1 frame in 300 (35 vs 34 fragments, one fragment boundary moves;
+        same long tracks, median reprojection unchanged at 6.45 px — see
+        tests/test_tracker.py::test_fast_preset_consistency).  Use when
+        throughput matters more than bit-parity with the reference schedule.
+        """
+        base = dict(
+            max_people=6,
+            max_tracks=8,
+            als_max_iter=100,
+            als_stable_iters=6,
+            ik_warm_stages=1,
+            ik_solver="gj",
+        )
+        base.update(overrides)
+        return cls(**base)
+
     @property
     def n_obs_kps(self) -> int:
         """Detections + synthetic mid-spine appended for IK."""

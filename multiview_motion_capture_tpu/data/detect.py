@@ -123,7 +123,6 @@ def crop_windows(image: Array, centers_xy: Array, crop_hw: Tuple[int, int],
 
 def make_multi_person_detector(
     model_cfg: PoseNetConfig,
-    params,
     max_people: int,
     crop_hw: Tuple[int, int],
     full_hw: Optional[Tuple[int, int]] = None,
@@ -206,11 +205,16 @@ def frames_to_frame_batch(detect_fn, params, images, cfg: PipelineConfig) -> Fra
     """
     F = images.shape[0]
     P = cfg.max_people
-    kps_out = np.zeros((F, cfg.n_views, P, 17, 3), dtype=np.float32)
+    kps_out = None  # allocated from the detector's own K on the first frame
     valid_out = np.zeros((F, cfg.n_views, P), dtype=bool)
     for f in range(F):
         kps, _, valid = detect_fn(params, jnp.asarray(images[f]))
+        if kps_out is None:
+            kps_out = np.zeros((F, cfg.n_views, P, kps.shape[-2], 3),
+                               dtype=np.float32)
         n = min(P, kps.shape[1])
         kps_out[f, :, :n] = np.asarray(kps)[:, :n]
         valid_out[f, :, :n] = np.asarray(valid)[:, :n]
+    if kps_out is None:
+        kps_out = np.zeros((F, cfg.n_views, P, 17, 3), dtype=np.float32)
     return FrameBatch(kps=kps_out, valid=valid_out)

@@ -198,7 +198,23 @@ def decode_center_peaks(
         window_strides=(1, 1, 1),
         padding="SAME",
     )
-    is_peak = (center_heat >= pool) & (center_heat > min_score)
+    cand = (center_heat >= pool) & (center_heat > min_score)
+    # deterministic tie-break: a plateau of exactly-equal values (clipped or
+    # bf16-quantized heatmaps) makes every tied pixel a candidate, which
+    # would flood the proposal slots with duplicates of one person.  A
+    # second, exact integer pooling keeps only the highest-index candidate
+    # of each window (a float bias would round away in f32).
+    idx = jnp.broadcast_to(
+        jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W), cand.shape
+    )
+    cand_idx = jnp.where(cand, idx, -1)
+    pool_idx = jax.lax.reduce_window(
+        cand_idx, jnp.int32(-1), jax.lax.max,
+        window_dimensions=(1, nms_window, nms_window),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    is_peak = cand & (idx == pool_idx)
     vals = jnp.where(is_peak, center_heat, -jnp.inf).reshape(B, H * W)
     top_vals, idx = jax.lax.top_k(vals, max_people)
     ys = (idx // W).astype(center_heat.dtype)

@@ -97,7 +97,9 @@ def sharded_st_epipolar(
     is already symmetric per (a, b) pair from F_ab alone (it uses F and F^T
     internally), so one gather covers both directions.
 
-    kps: (V, P, K, 3); F: (V, V, 3, 3) replicated.
+    kps: (V, P, K, 3) sharded on V; F: (V, V, 3, 3) row-sharded along the
+    same mesh axis (each device receives its local cameras' F rows
+    (Vl, V, 3, 3), matching `in_specs=P(axis)`).
     Returns (V, P, V, P) with NaN where no keypoint pair passes the score
     gate (same-view masking is the caller's job, as in the local path).
     """

@@ -613,7 +613,8 @@ class MvTracker:
         self.frame_idxs.append(frame_idx)
         return self.outputs[-1]
 
-    def update_batch(self, frame_idxs, kps: np.ndarray, valid: np.ndarray) -> List[FrameOutput]:
+    def update_batch(self, frame_idxs, kps: np.ndarray, valid: np.ndarray,
+                     pad_to: Optional[int] = None) -> List[FrameOutput]:
         """Micro-batched streaming update: process k frames in ONE device
         dispatch (a k-length `lax.scan` of the step).
 
@@ -625,13 +626,34 @@ class MvTracker:
         step function over the same state).
 
         kps: (k, V, P, K, 3); valid: (k, V, P); len(frame_idxs) == k.
-        The jitted scan specializes on k — use a fixed micro-batch size (a
-        different tail size compiles once more).
+
+        The jitted scan specializes on the chunk length.  `pad_to` fixes the
+        compiled length: a shorter chunk (e.g. the sequence tail) is padded
+        with inert frames that leave the state untouched (`lax.cond` skips
+        the step body, so a padded tail costs ~k_real frames of device work,
+        not pad_to), and only the real frames' outputs are returned.  One
+        compile serves every chunk size <= pad_to — the serving path should
+        always pass its steady micro-batch size here.
         """
         k = len(frame_idxs)
         assert kps.shape[0] == k and valid.shape[0] == k
+        if pad_to is not None and k < pad_to:
+            pad = pad_to - k
+            kps = np.concatenate(
+                [np.asarray(kps), np.zeros((pad,) + kps.shape[1:], kps.dtype)]
+            )
+            valid = np.concatenate(
+                [np.asarray(valid), np.zeros((pad,) + valid.shape[1:], bool)]
+            )
+            real = np.concatenate([np.ones(k, bool), np.zeros(pad, bool)])
+        elif pad_to is not None and k > pad_to:
+            raise ValueError(f"chunk of {k} frames exceeds pad_to={pad_to}")
+        else:
+            real = np.ones(k, bool)
         fn = _cached_scan(("chunk", id(self.ctx)), self.ctx, self._build_chunk_scan)
-        self.state, outs = fn(self.state, (jnp.asarray(kps), jnp.asarray(valid)))
+        self.state, outs = fn(
+            self.state, (jnp.asarray(kps), jnp.asarray(valid), jnp.asarray(real))
+        )
         outs = jax.device_get(outs)
         per_frame = [
             FrameOutput(*[np.asarray(getattr(outs, f))[i] for f in FrameOutput._fields])
@@ -643,10 +665,22 @@ class MvTracker:
 
     def _build_chunk_scan(self):
         step = make_step(self.ctx)
+        n_views = self.ctx.cfg.n_views
+
+        def masked_step(state, frame):
+            kps, valid, real = frame
+            # inert pad frames: the state passes through unchanged (a real
+            # empty frame would age and kill live tracks)
+            return jax.lax.cond(
+                real,
+                lambda s: step(s, (kps, valid)),
+                lambda s: (s, _dummy_output(s, n_views)),
+                state,
+            )
 
         @jax.jit
         def scan_chunk(state, frames):
-            return jax.lax.scan(step, state, frames)
+            return jax.lax.scan(masked_step, state, frames)
 
         return scan_chunk
 
@@ -656,6 +690,25 @@ class MvTracker:
         stacked = FrameOutput(*[np.stack([np.asarray(getattr(o, f)) for o in self.outputs])
                                 for f in FrameOutput._fields])
         return assemble_tracklets(stacked, self.frame_idxs)
+
+
+def _dummy_output(state: TrackerState, n_views: int) -> FrameOutput:
+    """Placeholder FrameOutput for an inert pad frame (discarded on host)."""
+    T = state.active.shape[0]
+    return FrameOutput(
+        track_id=state.track_id,
+        active=state.active,
+        updated=jnp.zeros((T,), bool),
+        spawned=jnp.zeros((T,), bool),
+        died_track_id=jnp.full((T,), -1, jnp.int32),
+        root=state.root,
+        euler=state.euler,
+        side_lens=state.side_lens,
+        pose3d=state.pose3d,
+        pose3d_score=state.pose3d_score,
+        matched_pose=jnp.full((T, n_views), -1, jnp.int32),
+        als_iters=jnp.asarray(0, jnp.int32),
+    )
 
 
 # id(ctx) -> (ctx, fn).  The strong reference to ctx in the value is what

@@ -71,7 +71,7 @@ def main(n_frames=100, n_people=3, n_views=5, steps=0):
                         jnp.zeros((1,) + mcfg.img_hw + (3,)))["params"]
 
     detect = make_multi_person_detector(
-        mcfg, params, max_people=cfg.max_people, crop_hw=CROP_HW)
+        mcfg, max_people=cfg.max_people, crop_hw=CROP_HW)
 
     # uint8 on the wire: 1 byte/px host->device (f32 quadruples the transfer,
     # which dominates through the axon tunnel)

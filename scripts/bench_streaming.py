@@ -55,12 +55,14 @@ def main():
         lat = []
         t0 = time.perf_counter()
         n_done = 0
-        for s in range(0, F - (F % k), k):
+        for s in range(0, F, k):
+            e = min(F, s + k)
             ts = time.perf_counter()
-            tracker.update_batch(list(range(s, s + k)),
-                                 batch.kps[s:s + k], batch.valid[s:s + k])
+            # pad_to keeps the tail on the same compiled chunk shape
+            tracker.update_batch(list(range(s, e)), batch.kps[s:e],
+                                 batch.valid[s:e], pad_to=k)
             lat.append(time.perf_counter() - ts)
-            n_done += k
+            n_done += e - s
         total = time.perf_counter() - t0
         lat_ms = np.asarray(lat) * 1e3
         results[f"k={k}"] = {

@@ -26,6 +26,21 @@ def test_decode_center_peaks():
         assert np.min(np.linalg.norm(found - g, axis=-1)) < 1.5
 
 
+def test_decode_center_peaks_plateau_tiebreak():
+    """A plateau of exactly-equal values (clipped/quantized heatmaps) must
+    resolve to ONE peak, not flood every proposal slot with duplicates
+    (ADVICE r2)."""
+    from multiview_motion_capture_tpu.models.pose_net import decode_center_peaks
+
+    heat = np.zeros((1, 32, 48), dtype=np.float32)
+    heat[0, 10:13, 20:23] = 1.0  # 3x3 plateau of identical values
+    centers, ok = decode_center_peaks(jnp.asarray(heat), max_people=5,
+                                      min_score=0.3, nms_window=5)
+    assert int(ok.sum()) == 1, np.asarray(centers[0])
+    c = np.asarray(centers[0, 0])
+    assert 20 <= c[0] <= 22 and 10 <= c[1] <= 12
+
+
 def test_crop_windows_clip_and_map():
     from multiview_motion_capture_tpu.data.detect import crop_windows
 

@@ -110,6 +110,35 @@ def test_microbatched_streaming_matches_per_frame(seq):
         np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-5)
 
 
+def test_microbatched_padded_tail_matches_per_frame(seq):
+    """update_batch with pad_to=k: the uneven tail is padded with inert
+    frames (ONE compiled chunk shape serves every chunk) and must produce
+    exactly the per-frame results — pad frames must not age/kill tracks."""
+    ref = MvTracker(seq.cameras, CFG, use_ik=False)
+    for f in range(seq.batch.n_frames):
+        ref.update(f, seq.batch.kps[f], seq.batch.valid[f])
+
+    mb = MvTracker(seq.cameras, CFG, use_ik=False)
+    k = 3  # 8 frames -> chunks of 3, 3, 2; the 2-tail is padded to 3
+    for s in range(0, seq.batch.n_frames, k):
+        e = min(seq.batch.n_frames, s + k)
+        mb.update_batch(list(range(s, e)), seq.batch.kps[s:e],
+                        seq.batch.valid[s:e], pad_to=k)
+
+    a, b = ref.tracklets(), mb.tracklets()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.frame_idxs == y.frame_idxs
+        np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-5)
+
+
+def test_update_batch_rejects_oversized_chunk(seq):
+    mb = MvTracker(seq.cameras, CFG, use_ik=False)
+    with pytest.raises(ValueError, match="exceeds pad_to"):
+        mb.update_batch([0, 1, 2], seq.batch.kps[:3], seq.batch.valid[:3],
+                        pad_to=2)
+
+
 def test_tentative_track_dies_after_one_miss():
     """max_age=0 + Tentative -> Dead on the first miss
     (ref:src/motion_capture.py:387-391)."""
@@ -129,6 +158,62 @@ def test_tentative_track_dies_after_one_miss():
     assert (np.asarray(out.active)[3] == 0).all()
     died = np.asarray(out.died_track_id)
     assert (died[2] >= 0).any()
+
+
+def test_fast_preset_consistency(shelf_data_dir):
+    """`PipelineConfig.fast()` (als_stable_iters=6, the measured 780-fps
+    preset) vs the parity SHELF_BENCH config on real Shelf frames: same long
+    tracks, bounded reprojection delta (VERDICT r2 next #6).  The preset is
+    allowed small structural wobble (a fragment boundary may move) but must
+    not change who is tracked or how well."""
+    import dataclasses
+
+    from multiview_motion_capture_tpu.cameras import CameraBank
+    from multiview_motion_capture_tpu.config import SHELF_BENCH, PipelineConfig
+    from multiview_motion_capture_tpu.data.ingest import (
+        filter_bad_poses,
+        load_openpose_dir,
+    )
+    from multiview_motion_capture_tpu.eval import (
+        reprojection_metrics,
+        run_consistency_mpjpe,
+    )
+
+    N = 150
+    cfg_parity = dataclasses.replace(SHELF_BENCH, max_frames=N)
+    cfg_fast = PipelineConfig.fast(max_frames=N)
+    assert cfg_fast.als_stable_iters == 6
+    batch = load_openpose_dir(shelf_data_dir / "kps_opn", cfg_parity, max_frames=N)
+    batch = filter_bad_poses(batch, cfg_parity)
+    cams = CameraBank.from_json_dir(shelf_data_dir / "calibs")
+
+    results = {}
+    for name, cfg in (("parity", cfg_parity), ("fast", cfg_fast)):
+        ctx = TrackerContext.build(cams, cfg, use_ik=True)
+        _, out = run_offline(ctx, jnp.asarray(batch.kps[:N]),
+                             jnp.asarray(batch.valid[:N]))
+        tlets = assemble_tracklets(jax.device_get(out))
+        # quality compared on substantial tracks: 1-frame ghost fragments
+        # have unbounded reprojection error and would make the mean a coin
+        # flip on which ghosts each schedule happens to spawn
+        solid = [t for t in tlets if len(t) >= 5]
+        results[name] = (tlets, reprojection_metrics(solid, batch, cams))
+
+    (tp, mp), (tf, mf) = results["parity"], results["fast"]
+    # same number of long tracks (>= 30 frames), each within 10% length
+    long_p = sorted((len(t) for t in tp if len(t) >= 30), reverse=True)
+    long_f = sorted((len(t) for t in tf if len(t) >= 30), reverse=True)
+    assert len(long_p) == len(long_f), (long_p, long_f)
+    for a, b in zip(long_p, long_f):
+        assert abs(a - b) <= max(3, 0.1 * a), (long_p, long_f)
+    # fragment-count wobble bounded (all fragments, ghosts included)
+    assert abs(len(tp) - len(tf)) <= 3, (len(tp), len(tf))
+    # reprojection quality preserved
+    assert abs(mp.median_reproj_px - mf.median_reproj_px) < 0.3
+    assert abs(mp.mean_reproj_px - mf.mean_reproj_px) < 0.8
+    # matched 3D poses agree to a few cm
+    d = run_consistency_mpjpe(tp, tf)
+    assert d < 0.05, d
 
 
 def test_scan_cache_identity_guard(seq):
