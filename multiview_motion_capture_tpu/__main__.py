@@ -26,6 +26,10 @@ def _add_common(p):
     p.add_argument("--max_people", type=int, default=10)
     p.add_argument("--max_tracks", type=int, default=16)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--min_track_len", type=int, default=1,
+                   help="drop output tracklets shorter than this (and "
+                        "never-finite degenerate ghosts); 1 = keep all "
+                        "(reference-parity fragments)")
 
 
 def _config(args, n_views):
@@ -36,6 +40,7 @@ def _config(args, n_views):
         max_frames=args.max_frames,
         max_people=args.max_people,
         max_tracks=args.max_tracks,
+        min_track_length=getattr(args, "min_track_len", 1),
     )
 
 

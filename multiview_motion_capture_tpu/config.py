@@ -80,6 +80,12 @@ class PipelineConfig:
     # ---- run-mode driver (ref:src/motion_capture.py:1058-1060) -------------
     max_frames: Optional[int] = 300
 
+    # ---- output post-filter (new; no reference analogue) -------------------
+    # drop output tracklets shorter than this many frames, plus any tracklet
+    # whose poses are entirely non-finite (degenerate 2-view ghosts).  1 =
+    # keep everything, reproducing the reference's raw fragment output.
+    min_track_length: int = 1
+
     @classmethod
     def fast(cls, **overrides) -> "PipelineConfig":
         """Non-parity speed preset (~11% faster Shelf end-to-end, measured

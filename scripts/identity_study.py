@@ -1,0 +1,86 @@
+"""Identity study on the scaled rigs (VERDICT r2 next #3): IDF1 /
+ID-switches / fragmentation before and after the re-ID merge pass, against
+exact synthetic ground truth, on the same configs the throughput benchmarks
+use (10x10, 20-cam, 32-cam).
+
+Identity scoring has no device-side work worth measuring, so this runs fine
+on CPU (--cpu); the numbers it reports are recorded in docs/PERF.md.
+
+    python scripts/identity_study.py --cpu
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+import numpy as np
+
+
+def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
+                 min_track_length=2):
+    import jax.numpy as jnp
+
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.eval import identity_metrics
+    from multiview_motion_capture_tpu.pipeline import filter_ghost_tracklets
+    from multiview_motion_capture_tpu.reid import merge_tracklets
+    from multiview_motion_capture_tpu.tracker import (
+        TrackerContext,
+        assemble_tracklets,
+        run_offline,
+    )
+
+    cfg = PipelineConfig(
+        n_views=n_views, max_people=n_people, max_tracks=16,
+        max_frames=None, als_max_iter=100, ik_warm_stages=1, ik_solver="gj",
+    )
+    seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
+                             n_views=n_views, cfg=cfg, seed=0,
+                             noise_px=1.0, drop_prob=drop_prob)
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=use_ik)
+    _, out = run_offline(ctx, jnp.asarray(seq.batch.kps),
+                         jnp.asarray(seq.batch.valid))
+    tlets = assemble_tracklets(jax.device_get(out))
+
+    def score(ts):
+        m = identity_metrics(ts, seq.gt_slot_person)
+        return {
+            "n_tracks": m.n_pred_tracks,
+            "idf1": round(m.idf1, 3),
+            "id_switches": m.id_switches,
+            "fragments": m.fragments_per_identity,
+            "gt_identities": m.n_gt_identities,
+        }
+
+    raw = score(tlets)
+    merged = merge_tracklets(tlets)
+    after = score(merged)
+    cleaned = filter_ghost_tracklets(merged, min_track_length)
+    final = score(cleaned)
+    return {"raw": raw, "reid": after, "reid+ghost_filter": final}
+
+
+def main():
+    results = {
+        "10cam_x_10ppl_f200": study_config(10, 10, 200),
+        "20cam_x_10ppl_f100": study_config(20, 10, 100),
+        "32cam_x_10ppl_f60": study_config(32, 10, 60),
+    }
+    print(json.dumps({
+        "metric": "identity_study",
+        "extra": {**results, "backend": jax.default_backend()},
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    main()

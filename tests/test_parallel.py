@@ -103,6 +103,69 @@ def test_sharded_tracker_matches_unsharded_20cam():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_streams_to_devices_matches_run_offline():
+    """Sequences-to-devices serving (VERDICT r2 next #2): B independent
+    streams sharded over the mesh produce, per stream, exactly the output
+    of `run_offline` on that stream alone."""
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.parallel.streams import (
+        assemble_stream_tracklets,
+        make_streams_mesh,
+        run_offline_streams,
+    )
+    from multiview_motion_capture_tpu.tracker import (
+        TrackerContext, assemble_tracklets, run_offline,
+    )
+
+    cfg = PipelineConfig(n_views=4, max_people=5, max_tracks=6,
+                         max_frames=None)
+    # 4 distinct streams over the same rig (different people/motions)
+    seqs = [synthetic_sequence(n_frames=6, n_people=2 + (s % 2), n_views=4,
+                               cfg=cfg, seed=20 + s, drop_prob=0.05)
+            for s in range(4)]
+    cams = seqs[0].cameras
+    kps = np.stack([s.batch.kps for s in seqs])       # (B, F, V, P, K, 3)
+    valid = np.stack([s.batch.valid for s in seqs])   # (B, F, V, P)
+
+    ctx = TrackerContext.build(cams, cfg, use_ik=True)
+    mesh = make_streams_mesh(4)
+    states, out = run_offline_streams(ctx, kps, valid, mesh)
+    per_stream = assemble_stream_tracklets(out)
+
+    for b, seq in enumerate(seqs):
+        _, ref_out = run_offline(ctx, jnp.asarray(seq.batch.kps),
+                                 jnp.asarray(seq.batch.valid))
+        ref = assemble_tracklets(jax.device_get(ref_out))
+        got = per_stream[b]
+        assert len(ref) == len(got), (b, len(ref), len(got))
+        for x, y in zip(ref, got):
+            assert x.frame_idxs == y.frame_idxs
+            np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_streams_rejects_camera_sharded_context():
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.parallel.streams import (
+        make_streams_mesh,
+        run_offline_streams,
+    )
+    from multiview_motion_capture_tpu.tracker import TrackerContext
+
+    cfg = PipelineConfig(n_views=4, max_people=4, max_tracks=4,
+                         max_frames=None)
+    seq = synthetic_sequence(n_frames=2, n_people=2, n_views=4, cfg=cfg)
+    cam_mesh = make_mesh(4)
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=False,
+                               mesh=cam_mesh, mesh_axis="dp")
+    with pytest.raises(ValueError, match="camera-sharding"):
+        run_offline_streams(ctx, seq.batch.kps[None], seq.batch.valid[None],
+                            make_streams_mesh(1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_st_epipolar_matches_single_device():
     """The camera-sharded score-gated epipolar block == the local kernel
     (NaN positions included — the no-qualifying-keypoint sentinel)."""
