@@ -36,6 +36,21 @@ def main() -> None:
 
     m = reprojection_metrics(res.tracklets, batch, cams)
 
+    # quality gate: kernel rewrites must not silently drift tracking quality
+    # (the r2 8.56 -> 8.82 px mean shift was reported but nothing would have
+    # failed on it; now it fails loudly, VERDICT r2 next #4).  Bands reflect
+    # the measured r3 envelope with track rescue on: median ~6.45 px,
+    # ~25 fragments (was 34 pre-rescue vs the oracle's 23), 2 full-length
+    # leading tracks, 0 degenerate poses.
+    gate = {
+        "median_le": m.median_reproj_px <= 6.6,
+        "mean_le": m.mean_reproj_px <= 9.5,
+        "tracklet_band": 20 <= len(res.tracklets) <= 32,
+        "long_tracks": len([x for x in m.lengths if x >= 190]) >= 2,
+        "no_degenerate": m.n_degenerate_poses == 0,
+    }
+    quality_ok = all(gate.values())
+
     print(
         json.dumps(
             {
@@ -55,10 +70,14 @@ def main() -> None:
                         res.timings.get("compile+track", 0.0) - res.track_time_s, 2
                     ),
                     "backend": jax.default_backend(),
+                    "quality_ok": quality_ok,
+                    **({} if quality_ok else {"quality_gate": gate}),
                 },
             }
         )
     )
+    if not quality_ok:
+        raise SystemExit(f"bench quality gate FAILED: {gate}")
 
 
 if __name__ == "__main__":

@@ -61,6 +61,21 @@ class PipelineConfig:
     # ---- tracker lifecycle (ref:src/motion_capture.py:319-320) -------------
     n_init_hits: int = 3   # Tentative -> Confirmed
     max_age: int = 0       # missed frames before death
+    # track rescue (deviation, off = strict reference semantics): a CONFIRMED
+    # track that would die reclaims unclaimed detections within this
+    # reprojection distance (px) in >= 2 views instead of dying.
+    # Root-caused in r3: the tracker's excess fragments vs the f64 oracle are
+    # tracks sitting 25-40 px from their subject's real detections —
+    # decisively outside the similarity sigmoid's range, nothing ALS-level
+    # can bind them (scripts/fragmentation_study.py, docs/PARITY.md).
+    # Default ON (Shelf: 36 -> 27 fragments on the default capacities,
+    # median reprojection 6.6 -> 6.48 px, synthetic IDF1 +0.004 and -4 ID
+    # switches); set 0.0 for strict reference-lifecycle replication.
+    track_rescue_px: float = 40.0
+    # gate for adopting a SINGLETON detection (1-view keep-alive, no update):
+    # a lone detection has no cross-view consistency check, so it gets a
+    # tighter gate than a multi-view group.  None = same as track_rescue_px.
+    track_rescue_single_px: Optional[float] = 25.0
 
     # ---- inverse kinematics (ref:src/inverse_kinematics.py:389-407) --------
     ik_cold_iters: int = 50

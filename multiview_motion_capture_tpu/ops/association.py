@@ -53,6 +53,10 @@ def default_init_factor(n: int, rank: int) -> np.ndarray:
 class AlsResult(NamedTuple):
     x_bin: Array       # (N, N) bool, symmetric binarized match matrix
     n_iters: Array     # () int32, iterations until convergence (or max)
+    # continuous symmetrized X before binarization (diagnostics: |X - 0.5|
+    # margins identify bistable near-threshold associations); None from the
+    # fused Pallas kernel, which binarizes in VMEM and never writes X out
+    x: Array = None
 
 
 @high_precision
@@ -138,7 +142,7 @@ def match_als(
     X, Z, Y, A, mu, n_iters, _, _ = jax.lax.while_loop(cond, body, state0)
 
     X = 0.5 * (X + X.T)
-    return AlsResult(x_bin=X > 0.5, n_iters=n_iters)
+    return AlsResult(x_bin=X > 0.5, n_iters=n_iters, x=X)
 
 
 def transitive_closure(x_bin: Array) -> Array:

@@ -187,12 +187,14 @@ def _masked_sigmoid_similarity(dst: Array, valid2: Array, mean: Array, std: Arra
     return jnp.where(valid2, jax.nn.sigmoid(-scale * s), 0.0)
 
 
-def _spatial_time_similarity(ctx: TrackerContext, state: TrackerState,
-                             kps: Array, det_valid: Array) -> Tuple[Array, Array]:
+def _spatial_time_similarity(
+    ctx: TrackerContext, state: TrackerState, kps: Array, det_valid: Array
+) -> Tuple[Array, Array, Array]:
     """The spatial-time similarity matrix (ref:src/motion_capture.py:634-756).
 
     Layout: [T tracklet slots | view0 slots | view1 slots | ...].
-    Returns (sim (N, N), elem_valid (N,)).
+    Returns (sim (N, N), elem_valid (N,), d23 (T, V, P) raw track->detection
+    reprojection distances — reused by the track-rescue pass).
     """
     cfg = ctx.cfg
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
@@ -254,7 +256,7 @@ def _spatial_time_similarity(ctx: TrackerContext, state: TrackerState,
     )
     sim = jnp.where(sim < cfg.st_sim_floor, 0.0, sim)  # ref:755-756
     sim = jnp.minimum(sim, 1.0)
-    return sim, elem_valid
+    return sim, elem_valid, d23
 
 
 def _spatial_similarity(ctx: TrackerContext, kps: Array, det_valid: Array) -> Tuple[Array, Array]:
@@ -330,7 +332,7 @@ def make_step(ctx: TrackerContext):
         # 2. similarity matrix: spatial-time when any track is alive,
         #    spatial-only otherwise (ref:829-835)
         any_alive = jnp.any(state.active > 0)
-        sim_st, ev_st = _spatial_time_similarity(ctx, state, kps, det_valid)
+        sim_st, ev_st, d23 = _spatial_time_similarity(ctx, state, kps, det_valid)
         sim_sp, ev_sp = _spatial_similarity(ctx, kps, det_valid)
         sim = jnp.where(any_alive, sim_st, sim_sp)
         elem_valid = jnp.where(any_alive, ev_st, ev_sp)
@@ -359,7 +361,7 @@ def make_step(ctx: TrackerContext):
                 stable_iters=cfg.als_stable_iters,
             )
         groups = assoc.extract_groups(als.x_bin, elem_valid)
-        rep, member = groups.rep, groups.member
+        rep, member, group_size = groups.rep, groups.member, groups.group_size
 
         # 4. per-slot / per-leader matched detections
         det_rep = rep[T:].reshape(V, P)
@@ -384,6 +386,73 @@ def make_step(ctx: TrackerContext):
         update_mask = t_is_leader & (t_nviews >= 2)           # ref:927-928
         in_match_dict = t_is_leader & (t_nviews >= 1)         # 1-view: no-op (ref:929-932)
 
+        # 4b. track rescue (config-gated deviation, docs/PARITY.md): a
+        # CONFIRMED track about to die ADOPTS the ALS group of its nearest
+        # detection when that detection is within `track_rescue_px`
+        # reprojection distance.  Root-caused in r3
+        # (scripts/fragmentation_study.py): excess deaths vs the f64 oracle
+        # are NOT near-threshold ALS flips — the dying track sits 25-40 px
+        # from real detections of its subject, decisively outside the
+        # similarity sigmoid's useful range (sim ~ 0.1), so association can
+        # never bind them and max_age=0 kills the track.  Adopting the
+        # detection's whole group keeps the cross-view-consistent detection
+        # set together: >= 2 adopted views -> normal update; exactly 1 ->
+        # keep-alive without update (the reference's own single-view-match
+        # no-op semantics, ref:929-932).  Adopted groups are continuations,
+        # not new identities: they are suppressed from spawning.
+        claimed_key = jnp.zeros((N,), dtype=bool)
+        if cfg.track_rescue_px > 0:
+            would_die = (state.active == CONFIRMED) & ~in_match_dict
+            # adoptable detections: valid, and their group contains no track
+            # slot (rep is the group min-index; tracks precede detections,
+            # so rep >= T <=> detection-only group)
+            rep_det = rep[T:]                                   # (VP,)
+            adoptable = det_valid.reshape(-1) & (rep_det >= T)
+            # singleton detections (no cross-view consistency) get the
+            # tighter gate; multi-view groups the full one
+            single_px = (cfg.track_rescue_px
+                         if cfg.track_rescue_single_px is None
+                         else cfg.track_rescue_single_px)
+            gate_det = jnp.where(group_size[T:] >= 2,
+                                 cfg.track_rescue_px, single_px)
+            d23f = d23.reshape(T, V * P)
+            dflat = jnp.where(
+                adoptable[None, :] & jnp.isfinite(d23f)
+                & (d23f < gate_det[None, :]),
+                d23f, jnp.inf,
+            )
+            best_e = jnp.argmin(dflat, axis=1).astype(jnp.int32)  # (T,)
+            best_d = jnp.min(dflat, axis=1)
+            cand = would_die & jnp.isfinite(best_d) & any_alive
+            best_key = rep_det[best_e]                           # (T,) global
+
+            # slot-order allocation: one adopting track per group
+            def alloc(claimed, t):
+                k = best_key[t]
+                ok = cand[t] & ~claimed[k]
+                return claimed.at[k].set(claimed[k] | ok), ok
+
+            claimed_key, adopt = jax.lax.scan(
+                alloc, claimed_key, jnp.arange(T, dtype=jnp.int32)
+            )
+            a_match, a_exists = jax.vmap(first_match)(best_key)  # (T, V)
+            a_exists = a_exists & adopt[:, None]
+            # singleton groups have member=False: adopt the detection itself
+            view_ids = jnp.arange(V, dtype=jnp.int32)
+            best_v = (best_e // P).astype(jnp.int32)
+            best_p = (best_e % P).astype(jnp.int32)
+            single = adopt & ~a_exists.any(axis=1)
+            at_best = view_ids[None, :] == best_v[:, None]
+            a_match = jnp.where(single[:, None] & at_best, best_p[:, None], a_match)
+            a_exists = a_exists | (single[:, None] & at_best)
+            a_n = a_exists.sum(axis=1)
+
+            t_match = jnp.where(adopt[:, None],
+                                jnp.where(a_exists, a_match, -1), t_match)
+            t_exists = jnp.where(adopt[:, None], a_exists, t_exists)
+            update_mask = update_mask | (adopt & (a_n >= 2))
+            in_match_dict = in_match_dict | adopt
+
         # 5. missed tracks die (ref:387-391,933-934)
         alive = state.active > 0
         missed = alive & ~in_match_dict
@@ -393,9 +462,11 @@ def make_step(ctx: TrackerContext):
         died_track_id = jnp.where(dies, state.track_id, -1)
         active_after_miss = jnp.where(dies, FREE, state.active)
 
-        # 6. spawn leaders: detection-led groups with >= 2 views (ref:936-958)
+        # 6. spawn leaders: detection-led groups with >= 2 views (ref:936-958);
+        # groups adopted by the rescue pass are continuations, not new
+        # identities — their leaders are suppressed
         e_idx = jnp.arange(N - T, dtype=jnp.int32) + T
-        d_is_leader = member[T:] & (rep[T:] == e_idx)
+        d_is_leader = member[T:] & (rep[T:] == e_idx) & ~claimed_key[e_idx]
         s_match_all, s_exists_all = jax.vmap(first_match)(e_idx)  # (VP, V)
         s_nviews = s_exists_all.sum(axis=1)
         spawn_ok = d_is_leader & (s_nviews >= 2)

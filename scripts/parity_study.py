@@ -69,7 +69,10 @@ def matched_mpjpe(ours, oracle):
 
 
 def main():
-    cfg = PipelineConfig(max_frames=N_FRAMES)
+    # strict reference lifecycle (no track rescue): this study compares
+    # against the oracle, which implements the reference's raw semantics
+    cfg = PipelineConfig(max_frames=N_FRAMES, track_rescue_px=0.0,
+                         track_rescue_single_px=None)
     batch = load_openpose_dir(Path("/root/reference/data/shelf/kps_opn"), cfg)
     batch = filter_bad_poses(batch, cfg)
     cams = CameraBank.from_json_dir(Path("/root/reference/data/shelf/calibs"))

@@ -25,7 +25,11 @@ N_FRAMES = 25
 
 @pytest.fixture(scope="module")
 def shelf(shelf_data_dir):
-    cfg = PipelineConfig(max_frames=N_FRAMES, max_people=6, max_tracks=8)
+    # strict reference lifecycle: these tests compare against the oracle,
+    # which implements the reference's raw max_age=0 semantics (the track
+    # rescue deviation is tested separately in test_tracker)
+    cfg = PipelineConfig(max_frames=N_FRAMES, max_people=6, max_tracks=8,
+                         track_rescue_px=0.0, track_rescue_single_px=None)
     batch = load_openpose_dir(shelf_data_dir / "kps_opn", cfg, max_frames=N_FRAMES)
     batch = filter_bad_poses(batch, cfg)
     cams = CameraBank.from_json_dir(shelf_data_dir / "calibs")

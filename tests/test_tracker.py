@@ -160,6 +160,39 @@ def test_tentative_track_dies_after_one_miss():
     assert (died[2] >= 0).any()
 
 
+def test_track_rescue_bridges_similarity_dropout():
+    """Track rescue (cfg.track_rescue_px, r3 deviation): when a subject's
+    detections drift ~25 px for a couple of frames (decisively outside the
+    similarity sigmoid's range — association can never bind them), the
+    strict reference lifecycle kills the track and respawns a fragment; the
+    rescue pass adopts the detections' group and the track survives."""
+    import dataclasses
+
+    cfg_strict = PipelineConfig(n_views=4, max_people=4, max_tracks=6,
+                                max_frames=None, track_rescue_px=0.0,
+                                track_rescue_single_px=None)
+    seq = synthetic_sequence(n_frames=10, n_people=1, n_views=4,
+                             cfg=cfg_strict, seed=5, drop_prob=0.0)
+    kps = seq.batch.kps.copy()
+    # frames 5-6: every view's detection shifts 25 px — same subject, but
+    # sim = sigmoid(-5*(25-15)/30) ~ 0.16, far below the 0.5 binarization
+    kps[5:7, ..., :2] += 25.0
+    valid = seq.batch.valid
+
+    ctx = TrackerContext.build(seq.cameras, cfg_strict, use_ik=True)
+    _, out = run_offline(ctx, jnp.asarray(kps), jnp.asarray(valid))
+    strict = assemble_tracklets(jax.device_get(out))
+    assert len(strict) >= 2, [t.frame_idxs for t in strict]  # fragmented
+
+    cfg_rescue = dataclasses.replace(cfg_strict, track_rescue_px=40.0,
+                                     track_rescue_single_px=25.0)
+    ctx = TrackerContext.build(seq.cameras, cfg_rescue, use_ik=True)
+    _, out = run_offline(ctx, jnp.asarray(kps), jnp.asarray(valid))
+    rescued = assemble_tracklets(jax.device_get(out))
+    assert len(rescued) == 1, [t.frame_idxs for t in rescued]
+    assert len(rescued[0]) == 10
+
+
 def test_fast_preset_consistency(shelf_data_dir):
     """`PipelineConfig.fast()` (als_stable_iters=6, the measured 780-fps
     preset) vs the parity SHELF_BENCH config on real Shelf frames: same long
