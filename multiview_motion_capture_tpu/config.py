@@ -53,6 +53,17 @@ class PipelineConfig:
     # i.e. up to a ~32-cam x 10-people rig), XLA while-loop elsewhere; or
     # force "xla" / "pallas"
     als_backend: str = "auto"
+    # ---- hierarchical association (rigs beyond the N=384 fused-ALS reach) --
+    # > 1 partitions the cameras into this many contiguous clusters: each
+    # cluster solves its own [tracklets | its views] ALS (each small enough
+    # for the fused kernel), and the per-cluster binarized matches are
+    # synthesized into one global match matrix.  Tracklets appear in EVERY
+    # cluster matrix, so a tracked person's cross-cluster identity merges
+    # through its tracklet in the transitive closure; NEW people (no
+    # tracklet yet) are merged across clusters by triangulated-centroid
+    # proximity (`cluster_merge_m`).  1 = monolithic (reference semantics).
+    assoc_clusters: int = 1
+    cluster_merge_m: float = 0.35  # cross-cluster new-person merge radius (m)
 
     # ---- triangulation (ref:src/mv_math_util.py:152-212) -------------------
     triangulate_min_score: float = 0.01

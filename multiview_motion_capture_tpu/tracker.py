@@ -132,6 +132,12 @@ class TrackerContext:
     # all_gather over ICI — the scaled-rig multi-chip path (SURVEY.md §2.3)
     mesh: object = None
     mesh_axis: str = "dp"
+    # hierarchical association (cfg.assoc_clusters > 1): per-cluster ALS
+    # inputs — every cluster matrix has the same [T | Vc*P] layout, so one
+    # mask/init/pallas context serves all clusters
+    cluster_diag_mask: Array = None
+    cluster_init_A: Array = None
+    cluster_pallas_ctx: object = None
 
     @classmethod
     def build(cls, cams: CameraBank, cfg: PipelineConfig, use_ik: bool = True,
@@ -151,10 +157,36 @@ class TrackerContext:
         if backend in ("auto", "pallas"):
             from multiview_motion_capture_tpu.ops import als_pallas
 
-            if n <= als_pallas.MAX_PAD and (
+            if n <= als_pallas.MAX_PAD and cfg.assoc_clusters == 1 and (
                 backend == "pallas" or jax.default_backend() == "tpu"
             ):
                 pallas_ctx = als_pallas.PallasAlsContext.build(n, diag_mask, init_A)
+
+        cluster_diag_mask = cluster_init_A = None
+        cluster_pallas_ctx = None
+        if cfg.assoc_clusters > 1:
+            C = cfg.assoc_clusters
+            if cfg.n_views % C != 0:
+                raise ValueError(
+                    f"n_views={cfg.n_views} not divisible by "
+                    f"assoc_clusters={C}"
+                )
+            Vc = cfg.n_views // C
+            nc = cfg.max_tracks + Vc * cfg.max_people
+            c_sizes = (cfg.max_tracks,) + (cfg.max_people,) * Vc
+            c_mask = assoc.block_diag_mask(c_sizes)
+            c_init = assoc.default_init_factor(nc, cfg.als_max_rank)
+            cluster_diag_mask = jnp.asarray(c_mask)
+            cluster_init_A = jnp.asarray(c_init)
+            if backend in ("auto", "pallas"):
+                from multiview_motion_capture_tpu.ops import als_pallas
+
+                if nc <= als_pallas.MAX_PAD and (
+                    backend == "pallas" or jax.default_backend() == "tpu"
+                ):
+                    cluster_pallas_ctx = als_pallas.PallasAlsContext.build(
+                        nc, c_mask, c_init
+                    )
         if mesh is not None and cfg.n_views % mesh.shape[mesh_axis] != 0:
             raise ValueError(
                 f"n_views={cfg.n_views} not divisible by mesh axis "
@@ -174,6 +206,9 @@ class TrackerContext:
             als_interpret=interpret,
             mesh=mesh,
             mesh_axis=mesh_axis,
+            cluster_diag_mask=cluster_diag_mask,
+            cluster_init_A=cluster_init_A,
+            cluster_pallas_ctx=cluster_pallas_ctx,
         )
 
 
@@ -296,6 +331,129 @@ def _spatial_similarity(ctx: TrackerContext, kps: Array, det_valid: Array) -> Tu
     return sim, elem_valid
 
 
+def _run_als(ctx: TrackerContext, sim: Array, pallas_ctx, diag_mask, init_A):
+    """One multi-way ALS solve: fused Pallas kernel when a context exists,
+    the XLA while-loop otherwise (identical groupings, test_als_pallas)."""
+    cfg = ctx.cfg
+    if pallas_ctx is not None:
+        from multiview_motion_capture_tpu.ops import als_pallas
+
+        pc = pallas_ctx
+        n = sim.shape[0]
+        x_pad, n_iters = als_pallas.match_als_pallas(
+            als_pallas.pad_similarity(sim, pc.pad), pc.keep, pc.eye_t,
+            pc.init_A, pc.n_true,
+            alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+            tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+            stable_iters=cfg.als_stable_iters, rank=pc.rank,
+            interpret=ctx.als_interpret,
+        )
+        return assoc.AlsResult(x_bin=x_pad[:n, :n], n_iters=n_iters)
+    return assoc.match_als(
+        sim, diag_mask, init_A,
+        alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+        tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+        stable_iters=cfg.als_stable_iters,
+    )
+
+
+def _clustered_association(
+    ctx: TrackerContext, sim: Array, elem_valid: Array,
+    kps: Array, det_valid: Array,
+) -> "assoc.AlsResult":
+    """Hierarchical association for rigs beyond the fused kernel's N=384
+    (VERDICT r2 next #5; the reference is nested Python loops with no size
+    ceiling but no scaling either, ref:src/mv_association.py:222-318).
+
+    Cameras are partitioned into `cfg.assoc_clusters` INTERLEAVED clusters
+    (cluster c = views c, c+C, c+2C, ...): on a ring rig every cluster then
+    spans the full angular range, keeping wide baselines inside each
+    cluster (contiguous sections were measured to merge depth-aligned
+    people — four adjacent ~30-degree-apart views cannot separate two
+    people along the section's depth axis).  Each cluster solves its own
+    [T tracklet slots | its Vc views] ALS (each small enough for the fused
+    kernel).  The per-cluster binarized matches are scattered into one
+    global (N, N) matrix:
+
+    - tracklet rows appear in EVERY cluster, so a tracked person's
+      cross-cluster identity merges through the tracklet in the closure;
+    - NEW people (detection-only groups) are linked across clusters by
+      triangulated-centroid proximity (`cfg.cluster_merge_m`): each
+      detection-led multi-view group triangulates its members' mean
+      keypoint to one 3D point, and nearby cross-cluster groups get a
+      linking edge before the global closure.
+
+    Known approximation: a person seen in only ONE view per cluster (but
+    2+ views total) cannot form a multi-view group anywhere and will not
+    spawn until it reaches 2 views inside some cluster — size clusters to
+    the rig's overlap structure.
+    """
+    cfg = ctx.cfg
+    T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
+    N = cfg.n_matrix
+    C = cfg.assoc_clusters
+    Vc = V // C
+    W = Vc * P
+
+    x_global = jnp.zeros((N, N), dtype=bool)
+    iters = jnp.asarray(0, jnp.int32)
+    cluster_of_view = np.arange(V) % C           # interleaved clusters
+    for c in range(C):
+        views_c = np.nonzero(cluster_of_view == c)[0]
+        ids = np.concatenate(
+            [np.arange(T)]
+            + [T + v * P + np.arange(P) for v in views_c]
+        )  # static (T + W,) global element indices of this cluster
+        sub = sim[np.ix_(ids, ids)]
+        als = _run_als(ctx, sub, ctx.cluster_pallas_ctx,
+                       ctx.cluster_diag_mask, ctx.cluster_init_A)
+        xb = als.x_bin
+        iters = iters + als.n_iters
+        x_global = x_global.at[np.ix_(ids, ids)].set(
+            x_global[np.ix_(ids, ids)] | xb
+        )
+
+    # ---- cross-cluster merge of NEW-person groups ----
+    g0 = assoc.extract_groups(x_global, elem_valid)
+    rep0, member0 = g0.rep, g0.member
+    det_rep = rep0[T:].reshape(V, P)
+    det_member = member0[T:].reshape(V, P)
+    e_global = jnp.arange(V * P, dtype=jnp.int32) + T
+
+    # per candidate leader: first member per view, mean-keypoint centroid
+    def centroid(key):
+        cand = det_member & (det_rep == key)            # (V, P)
+        exists = jnp.any(cand, axis=1)
+        first = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        obs = jnp.take_along_axis(
+            kps, first[:, None, None, None], axis=1
+        )[:, 0]                                          # (V, K, 3)
+        w = obs[..., 2] > cfg.epipolar_min_kps_score
+        cnt = jnp.maximum(w.sum(axis=1), 1)
+        uv = (obs[..., :2] * w[..., None]).sum(axis=1) / cnt[:, None]
+        sc = jnp.where(exists, 1.0, 0.0)
+        point_obs = jnp.concatenate([uv, sc[:, None]], axis=-1)[:, None, :]
+        tri = triangulate_points(ctx.cams.P, ctx.K_inv, point_obs, exists,
+                                 0.5, 0)                 # (1, 4)
+        return tri[0, :3], exists.sum()
+
+    cents, nviews = jax.vmap(centroid)(e_global)         # (VP, 3), (VP,)
+    # leaders of detection-only groups with >= 2 views (rep >= T excludes
+    # groups containing a tracklet; those merge through the tracklet)
+    is_leader = (rep0[T:] == e_global) & member0[T:] & (rep0[T:] >= T)
+    ok = is_leader & (nviews >= 2)
+    cents = jnp.where(ok[:, None], cents, 1e6)
+    d = jnp.linalg.norm(cents[:, None] - cents[None, :], axis=-1)
+    cluster_of = jnp.asarray(
+        np.repeat(cluster_of_view, P).astype(np.int32)
+    )  # (VP,) interleaved cluster of each detection slot
+    cross = cluster_of[:, None] != cluster_of[None, :]
+    link = (d < cfg.cluster_merge_m) & cross & ok[:, None] & ok[None, :]
+    x_det = x_global[T:, T:] | link
+    x_global = x_global.at[T:, T:].set(x_det)
+    return assoc.AlsResult(x_bin=x_global, n_iters=iters)
+
+
 # ---------------------------------------------------------------------------
 # the tracker step
 # ---------------------------------------------------------------------------
@@ -338,28 +496,14 @@ def make_step(ctx: TrackerContext):
         elem_valid = jnp.where(any_alive, ev_st, ev_sp)
 
         # 3. ALS + group extraction (fused Pallas kernel on TPU, XLA loop
-        #    otherwise; identical groupings — see tests/test_als_pallas.py)
-        if ctx.als_pallas_ctx is not None:
-            from multiview_motion_capture_tpu.ops import als_pallas
-
-            pc = ctx.als_pallas_ctx
-            x_pad, als_iters = als_pallas.match_als_pallas(
-                als_pallas.pad_similarity(sim, pc.pad), pc.keep, pc.eye_t, pc.init_A,
-                pc.n_true,
-                alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
-                tol=cfg.als_tol, max_iter=cfg.als_max_iter,
-                stable_iters=cfg.als_stable_iters, rank=pc.rank,
-                interpret=ctx.als_interpret,
-            )
-            x_bin = x_pad[:N, :N]
-            als = assoc.AlsResult(x_bin=x_bin, n_iters=als_iters)
+        #    otherwise; identical groupings — see tests/test_als_pallas.py).
+        #    Rigs beyond the fused kernel's N=384 use per-camera-cluster
+        #    ALS with a synthesized global match matrix (_clustered_association)
+        if cfg.assoc_clusters > 1:
+            als = _clustered_association(ctx, sim, elem_valid, kps, det_valid)
         else:
-            als = assoc.match_als(
-                sim, ctx.diag_mask, ctx.init_A,
-                alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
-                tol=cfg.als_tol, max_iter=cfg.als_max_iter,
-                stable_iters=cfg.als_stable_iters,
-            )
+            als = _run_als(ctx, sim, ctx.als_pallas_ctx, ctx.diag_mask,
+                           ctx.init_A)
         groups = assoc.extract_groups(als.x_bin, elem_valid)
         rep, member, group_size = groups.rep, groups.member, groups.group_size
 
