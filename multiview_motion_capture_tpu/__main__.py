@@ -159,6 +159,7 @@ def main(argv=None) -> int:
         from multiview_motion_capture_tpu.cameras import CameraBank
         from multiview_motion_capture_tpu.data.detect import (
             frames_to_frame_batch,
+            make_bottom_up_detector,
             make_multi_person_detector,
         )
         from multiview_motion_capture_tpu.models.pose_net import PoseNet, PoseNetConfig
@@ -184,13 +185,9 @@ def main(argv=None) -> int:
             ]) for f in range(n)
         ])
 
-        mcfg = PoseNetConfig(predict_center=True)
-        model = PoseNet(mcfg)
         import jax
         import jax.numpy as jnp
 
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1,) + mcfg.img_hw + (3,)))["params"]
         params_path = args.params
         if params_path is None:
             shipped = (Path(__file__).parent / "models" / "checkpoints"
@@ -198,19 +195,28 @@ def main(argv=None) -> int:
             if shipped.exists():
                 params_path = str(shipped)
         if params_path:
-            from multiview_motion_capture_tpu.models.checkpoint import load_params
+            from multiview_motion_capture_tpu.models.checkpoint import load_posenet
 
-            params = load_params(Path(params_path), params)
-        elif not args.smoke:
+            mcfg, params = load_posenet(Path(params_path))
+        elif args.smoke:
+            mcfg = PoseNetConfig(predict_center=True)
+            model = PoseNet(mcfg)
+            params = model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1,) + mcfg.img_hw + (3,)))["params"]
+        else:
             parser.error(
                 "no trained weights: pass --params <checkpoint>, or --smoke "
                 "to run with random-init weights (the output would be noise)"
             )
 
-        detect = make_multi_person_detector(
-            mcfg, max_people=cfg.max_people,
-            crop_hw=(args.crop_h, args.crop_w),
-        )
+        if mcfg.predict_offsets:
+            # single-pass bottom-up (the shipped checkpoint's architecture)
+            detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people)
+        else:
+            detect = make_multi_person_detector(
+                mcfg, max_people=cfg.max_people,
+                crop_hw=(args.crop_h, args.crop_w),
+            )
         t0 = time.perf_counter()
         batch = frames_to_frame_batch(detect, params, images, cfg)
         detect_s = time.perf_counter() - t0

@@ -33,6 +33,7 @@ from multiview_motion_capture_tpu.data.ingest import FrameBatch
 from multiview_motion_capture_tpu.models.pose_net import (
     PoseNet,
     PoseNetConfig,
+    decode_bottom_up,
     decode_center_peaks,
     decode_heatmaps,
     decode_heatmaps_local,
@@ -191,6 +192,59 @@ def make_multi_person_detector(
         kps = jnp.concatenate([xy, score], axis=-1)
         kps = kps * valid[..., None, None].astype(kps.dtype)
         return kps, boxes, valid
+
+    return detect
+
+
+def make_bottom_up_detector(
+    model_cfg: PoseNetConfig,
+    max_people: int,
+    full_hw: Optional[Tuple[int, int]] = None,
+    center_min_score: float = 0.1,
+    center_nms_window: int = 5,
+    snap_window: int = 7,
+    snap_min: float = 0.15,
+    det_min_score: float = 0.0,
+):
+    """SINGLE-PASS full-frame multi-person detector (the >100 fps path).
+
+    One CNN forward per camera frame: the `predict_offsets=True` model emits
+    keypoint heatmaps + a center channel + center->keypoint offset fields,
+    and `models.pose_net.decode_bottom_up` groups and localizes everything
+    on device — no person crops, no second forward (the cascade
+    `make_multi_person_detector` spends 1 + max_people forwards per camera).
+    This is the in-framework replacement for OpenPose's bottom-up
+    multi-person capability (ref:run_openpose.sh:10, consumed at
+    ref:src/motion_capture.py:974-984) in its own bottom-up style.
+
+    detect_fn: (V, H, W, 3) images (f32 in [0,1] or uint8) ->
+    (kps (V, max_people, K, 3) in frame pixels, centers, valid).
+    """
+    assert model_cfg.predict_offsets, "bottom-up path needs the offset head"
+    model = PoseNet(model_cfg)
+    K = model_cfg.n_kps
+    fh, fw = full_hw if full_hw is not None else model_cfg.img_hw
+
+    @jax.jit
+    def detect(params, images):
+        V, H, W = images.shape[:3]
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        if (H, W) != (fh, fw):
+            images = jax.image.resize(images, (V, fh, fw, 3), method="linear")
+        heat = model.apply({"params": params}, images)
+        kps_hm, centers, valid = decode_bottom_up(
+            heat, K, max_people,
+            min_score=center_min_score, nms_window=center_nms_window,
+            snap_window=snap_window, snap_min=snap_min,
+        )
+        hh, hw_ = heat.shape[1], heat.shape[2]
+        to_frame = jnp.asarray([W / hw_, H / hh], dtype=kps_hm.dtype)
+        xy = kps_hm[..., :2] * to_frame
+        kps = jnp.concatenate([xy, kps_hm[..., 2:3]], axis=-1)
+        if det_min_score > 0:
+            valid = valid & (jnp.max(kps[..., 2], axis=-1) > det_min_score)
+        return kps, centers, valid
 
     return detect
 

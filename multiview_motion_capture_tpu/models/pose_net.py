@@ -39,10 +39,19 @@ class PoseNetConfig:
     # OpenPose's bottom-up multi-person capability with an on-device
     # propose->crop->top-down cascade
     predict_center: bool = False
+    # adds 2*n_kps center->keypoint offset channels (after the center
+    # channel): the SINGLE-PASS bottom-up decode (decode_bottom_up) — one
+    # forward per camera frame instead of the cascade's 1 + max_people
+    # forwards, the >100 fps detect path.  Requires predict_center.
+    predict_offsets: bool = False
 
     @property
     def n_out(self) -> int:
-        return self.n_kps + (1 if self.predict_center else 0)
+        n = self.n_kps + (1 if self.predict_center else 0)
+        if self.predict_offsets:
+            assert self.predict_center, "offset head needs the center channel"
+            n += 2 * self.n_kps
+        return n
 
     @property
     def heatmap_hw(self) -> Tuple[int, int]:
@@ -222,6 +231,145 @@ def decode_center_peaks(
     valid = jnp.isfinite(top_vals) & (top_vals > min_score)
     centers = jnp.stack([xs, ys, jnp.where(valid, top_vals, 0.0)], axis=-1)
     return centers, valid
+
+
+def decode_bottom_up(
+    heat: Array,
+    n_kps: int,
+    max_people: int,
+    min_score: float = 0.1,
+    nms_window: int = 5,
+    snap_window: int = 7,
+    snap_min: float = 0.15,
+    temperature: float = 0.25,
+) -> Tuple[Array, Array, Array]:
+    """SINGLE-PASS multi-person decode: center peaks -> regressed keypoints
+    -> heatmap snap, all from ONE forward of the full frame.
+
+    This replaces the propose->crop->top-down cascade (1 + max_people
+    forwards per camera, `data.detect.make_multi_person_detector`) with a
+    CenterNet-style grouping: the network regresses, at every person-center
+    pixel, the 2*K offsets from the center to each keypoint, and keypoint
+    heatmaps provide sub-pixel refinement.  The offset *attributes* each
+    keypoint to its person (the crop cascade's distractor problem by
+    construction cannot occur: grouping is regressed, not spatial), the
+    heatmap *localizes* it: the regressed position is snapped to a local
+    soft-argmax in a `snap_window` patch of the keypoint channel when the
+    peak there is confident (> snap_min), else the regression stands (an
+    occluded joint keeps a low-score estimate).
+
+    heat: (B, H, W, K + 1 + 2K) from a `predict_offsets=True` PoseNet.
+    Returns (kps (B, max_people, K, 3) [x, y, score] in heatmap px,
+    centers (B, max_people, 3), valid (B, max_people)).
+    """
+    B, H, W, C = heat.shape
+    K = n_kps
+    assert C == 3 * K + 1, (C, K)
+    kp_heat = heat[..., :K]
+    center_heat = heat[..., K]
+    off_maps = heat[..., K + 1:]
+
+    centers, valid = decode_center_peaks(
+        center_heat, max_people, min_score=min_score, nms_window=nms_window
+    )  # (B, P, 3), (B, P)
+    cxy = centers[..., :2]
+    cxi = jnp.clip(jnp.round(cxy[..., 0]).astype(jnp.int32), 0, W - 1)
+    cyi = jnp.clip(jnp.round(cxy[..., 1]).astype(jnp.int32), 0, H - 1)
+
+    # offsets at the center pixel: (B, P, K, 2)
+    def gather_offsets(om, y, x):
+        return om[y, x].reshape(K, 2)
+
+    offs = jax.vmap(jax.vmap(gather_offsets, in_axes=(None, 0, 0)))(
+        off_maps, cyi, cxi
+    )
+    reg = cxy[:, :, None, :] + offs                       # (B, P, K, 2)
+
+    # snap to the keypoint heatmap: local soft-argmax around the regressed
+    # position (same windowed refinement as decode_heatmaps_local, but
+    # centered at the regression instead of a global argmax)
+    half = snap_window // 2
+    hm = jnp.moveaxis(kp_heat, -1, 1)                     # (B, K, H, W)
+
+    def snap_one(m, rxy):
+        rx = jnp.clip(jnp.round(rxy[0]).astype(jnp.int32), 0, W - 1)
+        ry = jnp.clip(jnp.round(rxy[1]).astype(jnp.int32), 0, H - 1)
+        y0 = jnp.clip(ry - half, 0, max(H - snap_window, 0))
+        x0 = jnp.clip(rx - half, 0, max(W - snap_window, 0))
+        win = jax.lax.dynamic_slice(m, (y0, x0), (snap_window, snap_window))
+        peak = jnp.max(win)
+        p = jax.nn.softmax(win.reshape(-1) / temperature).reshape(
+            snap_window, snap_window
+        )
+        r = jnp.arange(snap_window, dtype=m.dtype)
+        sy = jnp.sum(p.sum(axis=1) * r) + y0.astype(m.dtype)
+        sx = jnp.sum(p.sum(axis=0) * r) + x0.astype(m.dtype)
+        snapped = jnp.stack([sx, sy])
+        use = peak > snap_min
+        xy = jnp.where(use, snapped, rxy)
+        score = jnp.clip(peak, 0.0, 1.0)
+        return xy, score
+
+    def snap_person(hm_b, reg_p):                          # (K,H,W), (K,2)
+        return jax.vmap(snap_one)(hm_b, reg_p)
+
+    xy, kp_score = jax.vmap(jax.vmap(snap_person, in_axes=(None, 0)))(hm, reg)
+    score = kp_score[..., None] * centers[..., None, 2:3]
+    kps = jnp.concatenate([xy, score], axis=-1)
+    kps = kps * valid[..., None, None].astype(kps.dtype)
+    return kps, centers, valid
+
+
+def offset_targets(
+    centers: Array, kps: Array, valid: Array, kp_mask: Array,
+    hw: Tuple[int, int], radius: float = 2.0,
+) -> Tuple[Array, Array]:
+    """Ground truth for the offset head: at every pixel within `radius` of a
+    person center, the (dx, dy) from that PIXEL to each of the person's
+    keypoints (so the decode's gather at the detected — not exact — center
+    pixel still points at the right joints).
+
+    centers (B, P, 2), kps (B, P, K, 2) in heatmap px, valid (B, P),
+    kp_mask (B, P, K).  Overlapping discs: the nearest center wins.
+    Returns (targets (B, H, W, 2K), mask (B, H, W, K)).
+    """
+    H, W = hw
+    B, P, K, _ = kps.shape
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    px = jnp.broadcast_to(xs[None, None, :], (B, H, W))
+    py = jnp.broadcast_to(ys[None, :, None], (B, H, W))
+    d2 = (
+        (px[..., None] - centers[:, None, None, :, 0]) ** 2
+        + (py[..., None] - centers[:, None, None, :, 1]) ** 2
+    )  # (B, H, W, P)
+    d2 = jnp.where(valid[:, None, None, :], d2, jnp.inf)
+    owner = jnp.argmin(d2, axis=-1)                       # (B, H, W)
+    within = jnp.min(d2, axis=-1) <= radius ** 2          # (B, H, W)
+
+    kps_at = jnp.take_along_axis(
+        kps[:, None, None], owner[..., None, None, None], axis=3
+    )[:, :, :, 0]                                          # (B, H, W, K, 2)
+    mask_at = jnp.take_along_axis(
+        kp_mask[:, None, None], owner[..., None, None], axis=3
+    )[:, :, :, 0]                                          # (B, H, W, K)
+    tx = kps_at[..., 0] - px[..., None]
+    ty = kps_at[..., 1] - py[..., None]
+    tgt = jnp.stack([tx, ty], axis=-1).reshape(B, H, W, 2 * K)
+    mask = mask_at * within[..., None]
+    return tgt, mask
+
+
+def offset_loss(pred: Array, target: Array, mask: Array) -> Array:
+    """Masked smooth-L1 over the offset field.  pred/target (B, H, W, 2K),
+    mask (B, H, W, K) (each keypoint's x and y share its mask entry)."""
+    B, H, W, C = pred.shape
+    K = C // 2
+    d = (pred - target).reshape(B, H, W, K, 2)
+    ad = jnp.abs(d)
+    l1 = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5).sum(-1)  # (B, H, W, K)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return jnp.sum(l1 * mask) / denom
 
 
 def center_targets(centers: Array, valid: Array, hw: Tuple[int, int],

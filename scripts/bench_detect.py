@@ -33,9 +33,14 @@ def main(n_frames=100, n_people=3, n_views=5, steps=0):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 
+    from pathlib import Path as _P
+
     from examples.e2e_fullframe import render_frame, scaled_cameras
     from multiview_motion_capture_tpu.config import PipelineConfig
-    from multiview_motion_capture_tpu.data.detect import make_multi_person_detector
+    from multiview_motion_capture_tpu.data.detect import (
+        make_bottom_up_detector,
+        make_multi_person_detector,
+    )
     from multiview_motion_capture_tpu.data.ingest import FrameBatch
     from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
     from multiview_motion_capture_tpu.models.pose_net import PoseNet, PoseNetConfig
@@ -73,6 +78,24 @@ def main(n_frames=100, n_people=3, n_views=5, steps=0):
     detect = make_multi_person_detector(
         mcfg, max_people=cfg.max_people, crop_hw=CROP_HW)
 
+    # SINGLE-PASS bottom-up path: the shipped checkpoint's architecture
+    # (weights from the checkpoint when present; throughput is identical
+    # with random weights)
+    shipped = (_P(__file__).resolve().parents[1]
+               / "multiview_motion_capture_tpu/models/checkpoints/posenet_synth.npz")
+    if shipped.exists():
+        from multiview_motion_capture_tpu.models.checkpoint import load_posenet
+
+        bu_cfg, bu_params = load_posenet(shipped)
+    else:
+        bu_cfg = PoseNetConfig(img_hw=(192, 256), stage_features=(64, 128, 256),
+                               blocks_per_stage=2, head_features=128,
+                               predict_center=True, predict_offsets=True)
+        bu_params = PoseNet(bu_cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + bu_cfg.img_hw + (3,))
+        )["params"]
+    detect_bu = make_bottom_up_detector(bu_cfg, max_people=cfg.max_people)
+
     # uint8 on the wire: 1 byte/px host->device (f32 quadruples the transfer,
     # which dominates through the axon tunnel)
     images_u8 = (images * 255).astype(np.uint8)
@@ -80,6 +103,8 @@ def main(n_frames=100, n_people=3, n_views=5, steps=0):
     # warm up / compile
     kps0, _, _ = detect(params, jnp.asarray(images_u8[0]))
     jax.block_until_ready(kps0)
+    kb0, _, _ = detect_bu(bu_params, jnp.asarray(images_u8[0]))
+    jax.block_until_ready(kb0)
 
     # timed: per-frame detection over the sequence, including host->device
     # frame upload (the CNN work is identical whether the weights are
@@ -103,6 +128,18 @@ def main(n_frames=100, n_people=3, n_views=5, steps=0):
     jax.block_until_ready(out)
     detect_staged_s = time.perf_counter() - t0
 
+    # bottom-up timings (same protocol)
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        out, _, _ = detect_bu(bu_params, jnp.asarray(images_u8[f]))
+    jax.block_until_ready(out)
+    bu_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        out, _, _ = detect_bu(bu_params, staged[f])
+    jax.block_until_ready(out)
+    bu_staged_s = time.perf_counter() - t0
+
     # tracking stage at the same scale (real detections)
     batch = FrameBatch(
         kps=np.concatenate([kps_px, seq.batch.kps[..., 2:]], axis=-1).astype(np.float32),
@@ -110,20 +147,27 @@ def main(n_frames=100, n_people=3, n_views=5, steps=0):
     )
     res = pipeline.run(batch, cams_small, cfg, use_ik=True)
 
-    e2e_fps = n_frames / (detect_staged_s + res.track_time_s)
+    # headline: the single-pass bottom-up path (the shipped architecture)
+    e2e_fps = n_frames / (bu_staged_s + res.track_time_s)
     print(json.dumps({
         "metric": "detect_track_e2e_fps",
         "value": round(e2e_fps, 2),
         "unit": "frames/s",
         "extra": {
-            "detect_fps_staged": round(n_frames / detect_staged_s, 2),
-            "detect_fps_incl_upload": round(n_frames / detect_s, 2),
+            "bottom_up_fps_staged": round(n_frames / bu_staged_s, 2),
+            "bottom_up_fps_incl_upload": round(n_frames / bu_s, 2),
+            "cascade_fps_staged": round(n_frames / detect_staged_s, 2),
+            "cascade_fps_incl_upload": round(n_frames / detect_s, 2),
+            "cascade_e2e_fps": round(
+                n_frames / (detect_staged_s + res.track_time_s), 2),
             "track_fps": round(res.fps, 2),
             "n_frames": n_frames,
             "n_views": n_views,
             "frame_hw": FRAME_HW,
             "crop_hw": CROP_HW,
-            "model_input": mcfg.img_hw,
+            "cascade_model_input": mcfg.img_hw,
+            "bottom_up_model_input": tuple(bu_cfg.img_hw),
+            "bottom_up_ckpt": shipped.exists(),
             "backend": jax.default_backend(),
         },
     }))

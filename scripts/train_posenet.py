@@ -1,0 +1,186 @@
+"""Train the bottom-up keypoint CNN and ship the checkpoint.
+
+Produces `multiview_motion_capture_tpu/models/checkpoints/posenet_synth.npz`
+— the committed replacement for OpenPose's downloaded weights
+(ref:run_openpose.sh): a `predict_offsets=True` PoseNet trained on
+domain-randomized synthetic scenes (data.render: occlusion by depth,
+shared-palette people, distractor clutter, scale/lighting variation) and
+evaluated on held-out seeds.
+
+Run ON THE TPU (one process!):
+    python scripts/train_posenet.py --steps 6000
+Quality gates (held-out synthetic, quarter-Shelf scale):
+    recall >= 0.9 @ 12 px, matched mean error <= 3 px.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+FRAME_HW = (192, 256)
+TRAIN_SEEDS = list(range(100))
+EVAL_SEEDS = list(range(1000, 1010))
+CACHE = Path("/tmp/posenet_synth_data")
+
+
+def build_model_cfg():
+    from multiview_motion_capture_tpu.models.pose_net import PoseNetConfig
+
+    return PoseNetConfig(
+        img_hw=FRAME_HW,
+        stage_features=(64, 128, 256),
+        blocks_per_stage=2,
+        head_features=128,
+        predict_center=True,
+        predict_offsets=True,
+    )
+
+
+def load_or_generate(tag, seeds, n_frames=6, n_views=4):
+    """Dataset generation runs in a forced-CPU SUBPROCESS: the generator is
+    host-side numpy + small jax target renders, and running it inside the
+    TPU-attached training process would push every chunked intermediate
+    through the axon tunnel (measured: minutes of stall)."""
+    import subprocess
+
+    from multiview_motion_capture_tpu.data.detect_train import SampleSet
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    f = CACHE / f"{tag}_{len(seeds)}_{n_frames}x{n_views}.npz"
+    if not f.exists():
+        t0 = time.time()
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "import sys; sys.path.insert(0, {root!r});"
+            "import numpy as np;"
+            "from multiview_motion_capture_tpu.data.detect_train import generate_samples;"
+            "from multiview_motion_capture_tpu.data.render import RenderConfig;"
+            "ss = generate_samples({seeds!r}, RenderConfig(hw={hw!r}),"
+            " n_frames={nf}, n_views={nv}, n_people_range=(1, 5));"
+            "np.savez({out!r}, **ss.__dict__)"
+        ).format(root=str(Path(__file__).resolve().parents[1]),
+                 seeds=list(seeds), hw=tuple(FRAME_HW), nf=n_frames,
+                 nv=n_views, out=str(f))
+        env = dict(__import__("os").environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       timeout=3600)
+        print(f"{tag}: generated in {time.time()-t0:.0f}s", file=sys.stderr)
+    z = np.load(f)
+    return SampleSet(**{k: z[k] for k in z.files})
+
+
+def evaluate(mcfg, params, ss, max_people=6):
+    import jax.numpy as jnp
+
+    from multiview_motion_capture_tpu.data.detect import make_bottom_up_detector
+    from multiview_motion_capture_tpu.data.detect_train import evaluate_detections
+
+    detect = make_bottom_up_detector(mcfg, max_people=max_people,
+                                     center_min_score=0.2)
+    N = ss.images.shape[0]
+    kps_all, val_all = [], []
+    B = 16
+    for s in range(0, N, B):
+        kps, _, valid = detect(params, jnp.asarray(ss.images[s:s + B]))
+        kps_all.append(np.asarray(kps))
+        val_all.append(np.asarray(valid))
+    kps = np.concatenate(kps_all)
+    valid = np.concatenate(val_all)
+    return evaluate_detections(kps, valid, np.nan_to_num(ss.kps_px[..., :2]),
+                               ss.present, match_px=12.0)
+
+
+def main(steps=6000, batch=16, lr=1e-3, out=None, resume=None):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    import jax.numpy as jnp
+    import optax
+
+    from multiview_motion_capture_tpu.data.detect_train import make_train_step
+    from multiview_motion_capture_tpu.models.checkpoint import (
+        load_posenet,
+        save_posenet,
+    )
+    from multiview_motion_capture_tpu.models.pose_net import PoseNet
+
+    train = load_or_generate("train", TRAIN_SEEDS)
+    heldout = load_or_generate("eval", EVAL_SEEDS)
+
+    mcfg = build_model_cfg()
+    if resume:
+        mcfg, params = load_posenet(Path(resume))
+        print(f"resumed from {resume}", file=sys.stderr)
+    else:
+        model = PoseNet(mcfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1,) + FRAME_HW + (3,)))["params"]
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(300, steps // 10), decay_steps=steps,
+        end_value=lr * 0.02,
+    )
+    tx = optax.adamw(sched)
+    opt = tx.init(params)
+    step_fn = make_train_step(mcfg, tx)
+
+    imgs = jnp.asarray(train.images)
+    heat_t = jnp.asarray(train.heat_tgt)
+    off_t = jnp.asarray(train.off_tgt)
+    off_m = jnp.asarray(train.off_mask)
+    N = imgs.shape[0]
+    print(f"training on {N} samples, {steps} steps, batch {batch}",
+          file=sys.stderr)
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for s in range(steps):
+        key, k = jax.random.split(key)
+        idx = jax.random.randint(k, (batch,), 0, N)
+        params, opt, loss = step_fn(params, opt, imgs[idx], heat_t[idx],
+                                    off_t[idx], off_m[idx])
+        if s % 500 == 0 or s == steps - 1:
+            print(f"step {s}: loss {float(loss):.5f} "
+                  f"({(time.time()-t0):.0f}s)", file=sys.stderr)
+
+    q_train = evaluate(mcfg, params, train)
+    q_eval = evaluate(mcfg, params, heldout)
+    out = Path(out) if out else (
+        Path(__file__).resolve().parents[1]
+        / "multiview_motion_capture_tpu/models/checkpoints/posenet_synth.npz"
+    )
+    out.parent.mkdir(parents=True, exist_ok=True)
+    save_posenet(out, mcfg, params, dtype=np.float16)
+    print(json.dumps({
+        "metric": "posenet_heldout_recall",
+        "value": round(q_eval["recall"], 3),
+        "extra": {
+            "train": q_train, "heldout": q_eval, "steps": steps,
+            "checkpoint": str(out),
+            "ckpt_mb": round(out.stat().st_size / 1e6, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    main(steps=args.steps, batch=args.batch, lr=args.lr, out=args.out,
+         resume=args.resume)

@@ -66,7 +66,7 @@ def test_spatial_time_matrix_matches_oracle():
         pose3d_score=jnp.ones((3, 18)),
     )
 
-    sim, elem_valid = _spatial_time_similarity(ctx, state, kps, det_valid)
+    sim, elem_valid, _d23 = _spatial_time_similarity(ctx, state, kps, det_valid)
     sim = np.asarray(sim)
     elem_valid = np.asarray(elem_valid)
 
