@@ -66,7 +66,8 @@ def bench_config(n_views, n_people, n_frames=200, als_backend="auto",
             "n_tracklets": len(tlets),
             "n_long": len(long),
             "mpjpe_m": None if np.isnan(mpjpe) else round(mpjpe, 4),
-            "pallas_als": ctx.als_pallas_ctx is not None,
+            "pallas_als": (ctx.als_pallas_ctx is not None
+                           or ctx.cluster_pallas_ctx is not None),
             "n_matrix": cfg.n_matrix,
         }
     return out
