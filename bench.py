@@ -40,8 +40,9 @@ def main() -> None:
     # (the r2 8.56 -> 8.82 px mean shift was reported but nothing would have
     # failed on it; now it fails loudly, VERDICT r2 next #4).  Bands reflect
     # the measured r3 envelope with track rescue on: median ~6.45 px,
-    # ~25 fragments (was 34 pre-rescue vs the oracle's 23), 2 full-length
-    # leading tracks, 0 degenerate poses.
+    # ~27 fragments (was 34 pre-rescue vs the oracle's 23), two ~200-frame
+    # leading tracks (rescue moves one fragment boundary to ~frame 100;
+    # re-ID reassembles the full identities), 0 degenerate poses.
     gate = {
         "median_le": m.median_reproj_px <= 6.6,
         "mean_le": m.mean_reproj_px <= 9.5,

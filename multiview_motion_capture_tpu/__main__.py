@@ -94,6 +94,10 @@ def main(argv=None) -> int:
     p_viz.add_argument("--out", required=True)
     p_viz.add_argument("--image_dir", default=None,
                        help="optional dir with per-cam frame images")
+    p_viz.add_argument("--animate_3d", default=None, metavar="PATH",
+                       help="also export an animated 3D skeleton playback "
+                            "(mp4; falls back to gif without ffmpeg) — the "
+                            "reference's FuncAnimation window, exported")
     _add_common(p_viz)
 
     p_bench = sub.add_parser("bench", help="run the driver benchmark")
@@ -257,6 +261,13 @@ def main(argv=None) -> int:
         out = render_tracklets_video(tlets, cams, Path(args.out),
                                      frame_images=frame_images)
         print(f"wrote {out}")
+        if args.animate_3d:
+            from multiview_motion_capture_tpu.utils.viz import (
+                animate_tracklets_3d,
+            )
+
+            out3d = animate_tracklets_3d(tlets, Path(args.animate_3d))
+            print(f"wrote {out3d}")
         return 0
 
     if args.mode == "bench":

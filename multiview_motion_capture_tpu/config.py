@@ -87,6 +87,28 @@ class PipelineConfig:
     # a lone detection has no cross-view consistency check, so it gets a
     # tighter gate than a multi-view group.  None = same as track_rescue_px.
     track_rescue_single_px: Optional[float] = 25.0
+    # ambiguity guard: a dying track adopts a detection only when the
+    # NEXT-closest live track is at least this factor farther from it (and
+    # beyond the rescue gate's reach is always unambiguous).  In crowds a
+    # crossing person's detections sit close to two tracks — adopting there
+    # is what turned rescue into an identity hazard (10x10 synthetic: re-ID
+    # IDF1 0.707 -> 0.529 with an unguarded rescue; the guard restores it,
+    # docs/PERF.md).  Shelf's rescue case — a drifting track 25-40 px from
+    # its subject with no competitor nearby — passes untouched.  0 disables.
+    track_rescue_ambiguity: float = 1.5
+
+    # ---- motion-predicted association (new; no reference analogue) ---------
+    # Constant-velocity prediction of each track's 3D pose inside the
+    # track->detection reprojection gate: d23 is measured from
+    # pose3d + motion_gain * time_since_update * vel instead of the last
+    # pose.  0.0 = reference semantics (gate on the last pose, which is
+    # ambiguous when two people cross — the source of in-fragment identity
+    # switches at scale, docs/PERF.md r3 identity study).  The velocity
+    # estimate is an EMA of the per-update pose delta (motion_vel_beta);
+    # it only biases the ASSOCIATION gate — poses themselves are still
+    # solved from the raw detections, so reprojection quality is untouched.
+    motion_gain: float = 0.0
+    motion_vel_beta: float = 0.5
 
     # ---- inverse kinematics (ref:src/inverse_kinematics.py:389-407) --------
     ik_cold_iters: int = 50
@@ -102,6 +124,12 @@ class PipelineConfig:
     # LM linear solver: "chol" (batched Cholesky via vmap) or "gj" (fused
     # Pallas Gauss-Jordan over all slots in one kernel)
     ik_solver: str = "chol"
+    # Wide rigs: solve each track's IK against only its `ik_max_views`
+    # highest-score matched views (per-track static gather; LM residual work
+    # scales linearly with views, and past ~12 well-placed cameras extra
+    # views add no constraint the solve needs).  None = all views (reference
+    # semantics — the reference never runs rigs this wide).
+    ik_max_views: Optional[int] = None
 
     # ---- run-mode driver (ref:src/motion_capture.py:1058-1060) -------------
     max_frames: Optional[int] = 300
@@ -136,6 +164,25 @@ class PipelineConfig:
             ik_warm_stages=1,
             ik_solver="gj",
         )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def crowded(cls, **overrides) -> "PipelineConfig":
+        """Identity-first preset for dense multi-person scenes.
+
+        Track rescue OFF: rescue is a sparse-scene remedy — a dying track in
+        a crowd has usually drifted onto *another* person, and adopting that
+        person's detections swaps identities mid-fragment, which the offline
+        re-ID relabeling can never repair.  Measured on the 10x10 synthetic
+        crowd (docs/PERF.md r3 study): re-ID IDF1 0.707 with rescue off vs
+        0.546 with the default rescue on (ambiguity guards at 1.5/3/6 only
+        recover 0.546/0.573/0.611).  Fragmentation is higher (84 vs 76 raw
+        fragments) but fragments are MERGEABLE by re-ID; impure fragments
+        are not.  Use the defaults for sparse scenes (Shelf: rescue closes
+        36-vs-23 oracle fragmentation to 27 with no identity cost).
+        """
+        base = dict(track_rescue_px=0.0)
         base.update(overrides)
         return cls(**base)
 

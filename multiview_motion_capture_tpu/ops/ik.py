@@ -383,8 +383,11 @@ def _lm_solve_batched(
     eye = jnp.eye(n, dtype=x0.dtype)
     frozen_diag = jnp.diag(1.0 - free_mask)
 
-    rj = jax.vmap(_residual_and_jacobian, in_axes=(0, None, 0, 0, None, None))
-    resid_b = jax.vmap(_residual, in_axes=(0, None, 0, 0, None, None))
+    # P is either (V, 3, 4) shared, or (T, V, 3, 4) per-slot (the tracker's
+    # top-k view subset on wide rigs, cfg.ik_max_views)
+    p_ax = 0 if P.ndim == 4 else None
+    rj = jax.vmap(_residual_and_jacobian, in_axes=(0, None, 0, 0, p_ax, None))
+    resid_b = jax.vmap(_residual, in_axes=(0, None, 0, 0, p_ax, None))
 
     def cond(state):
         x, r, lam, active, it = state
@@ -462,7 +465,8 @@ def solve_two_stage(
       obs_coco: (T, V, 17, 3) per-view COCO observations (mid-spine appended
         internally).
       view_w: (T, V) weights, 0 for cameras not part of the match.
-      P: (V, 3, 4) projection matrices.
+      P: (V, 3, 4) projection matrices, or (T, V, 3, 4) per-slot (the
+        tracker's top-k view subset on wide rigs, cfg.ik_max_views).
       n_iters: LM iterations per stage (50 cold / 5 warm; ref:397-400).
       stages: 2 = the reference's pose-only-then-pose+bone-lengths schedule
         (required for cold starts: zero-init angles need the staged warmup);
@@ -489,16 +493,17 @@ def solve_two_stage(
         else:
             x = stage(stage(x0, free_pose), free_all)
     else:
-        def solve_one(x0_t, obs_t, w_t):
+        def solve_one(x0_t, obs_t, w_t, P_t):
             if stages == 1:
-                return _lm_solve(x0_t, skel, obs_t, w_t, P, free_all, n_iters,
+                return _lm_solve(x0_t, skel, obs_t, w_t, P_t, free_all, n_iters,
                                  eps, lam0, lam_up, lam_down)
-            x1 = _lm_solve(x0_t, skel, obs_t, w_t, P, free_pose, n_iters, eps,
+            x1 = _lm_solve(x0_t, skel, obs_t, w_t, P_t, free_pose, n_iters, eps,
                            lam0, lam_up, lam_down)
-            return _lm_solve(x1, skel, obs_t, w_t, P, free_all, n_iters, eps,
+            return _lm_solve(x1, skel, obs_t, w_t, P_t, free_all, n_iters, eps,
                              lam0, lam_up, lam_down)
 
-        x = jax.vmap(solve_one)(x0, obs, view_w)
+        p_ax = 0 if P.ndim == 4 else None
+        x = jax.vmap(solve_one, in_axes=(0, 0, 0, p_ax))(x0, obs, view_w, P)
     params = IkParams.unpack(x)
     joints = forward_kinematics(skel, params.root, params.euler, params.side_lens)
     return params, joints

@@ -75,6 +75,9 @@ class TrackerState:
     side_lens: Array     # (T, 11)
     pose3d: Array        # (T, 18, 3) current 3D pose (FK joints or triangulation)
     pose3d_score: Array  # (T, 18)
+    root_vel: Array      # (T, 3) EMA per-frame ROOT velocity (association gate;
+                         # whole-body translation only — limb motion is noise
+                         # for crossing disambiguation, measured in r3)
     next_track_id: Array  # () int32
 
     @classmethod
@@ -90,6 +93,7 @@ class TrackerState:
             side_lens=jnp.zeros((T, 11)),
             pose3d=jnp.zeros((T, 18, 3)),
             pose3d_score=jnp.zeros((T, 18)),
+            root_vel=jnp.zeros((T, 3)),
             next_track_id=jnp.asarray(0, jnp.int32),
         )
 
@@ -231,12 +235,20 @@ def _track_det_distances(ctx: TrackerContext, state: TrackerState,
     cfg = ctx.cfg
     if P_mats is None:
         P_mats = ctx.cams.P
+    pose3d = state.pose3d
+    if cfg.motion_gain:
+        # constant-velocity prediction for the gate only (cfg.motion_gain):
+        # rigid translation by the EMA root velocity (tsu was already
+        # incremented this frame, so it IS the horizon)
+        dt = state.time_since_update.astype(pose3d.dtype)
+        shift = cfg.motion_gain * dt[:, None] * state.root_vel     # (T, 3)
+        pose3d = pose3d + shift[:, None, :]
     if ctx.use_ik:
-        pts = state.pose3d[:, jnp.asarray(B18_COCO_SKEL_IDX), :]   # (T,15,3)
+        pts = pose3d[:, jnp.asarray(B18_COCO_SKEL_IDX), :]         # (T,15,3)
         sc3 = state.pose3d_score[:, jnp.asarray(B18_COCO_SKEL_IDX)]
         obs = kps[:, :, jnp.asarray(B18_COCO_OBS_IDX), :]          # (V,P,15,3)
     else:
-        pts = state.pose3d[:, :17, :]
+        pts = pose3d[:, :17, :]
         sc3 = state.pose3d_score[:, :17]
         obs = kps
     d23 = geom.masked_reprojection_error(
@@ -633,6 +645,24 @@ def make_step(ctx: TrackerContext):
             best_e = jnp.argmin(dflat, axis=1).astype(jnp.int32)  # (T,)
             best_d = jnp.min(dflat, axis=1)
             cand = would_die & jnp.isfinite(best_d) & any_alive
+            if cfg.track_rescue_ambiguity > 0:
+                # only adopt when no OTHER live track is competitively close
+                # to the same detection (raw distances, not rescue-gated):
+                # crossing people put a detection near two tracks, and
+                # adopting there swaps identities (docs/PERF.md r3 crowd
+                # study) — while the Shelf drift case has no competitor
+                dfin = jnp.where(jnp.isfinite(d23f), d23f, jnp.inf)
+                m1 = jnp.min(dfin, axis=0)                        # (VP,)
+                am1 = jnp.argmin(dfin, axis=0)
+                t_ids = jnp.arange(T, dtype=am1.dtype)[:, None]
+                m2 = jnp.min(jnp.where(t_ids == am1[None, :], jnp.inf, dfin),
+                             axis=0)
+                comp = jnp.where(am1[None, :] == t_ids, m2[None, :],
+                                 m1[None, :])                     # (T, VP)
+                comp_best = jnp.take_along_axis(
+                    comp, best_e[:, None], axis=1)[:, 0]
+                cand = cand & (comp_best
+                               > cfg.track_rescue_ambiguity * best_d)
             best_key = rep_det[best_e]                           # (T,) global
 
             # slot-order allocation: one adopting track per group
@@ -713,6 +743,27 @@ def make_step(ctx: TrackerContext):
         new_obs, new_w = _gather_obs(kps, s_match, s_exists)
         new_w = new_w * spawned[:, None].astype(new_w.dtype)
 
+        # wide rigs (cfg.ik_max_views): each track's LM solve sees only its
+        # k highest-score matched views — per-track (T, k, ...) gathers with
+        # matching per-track P rows.  Residual work scales with views, so
+        # this caps the V=64 solve at k-view cost; triangulation (spawn-only)
+        # keeps all views.
+        if cfg.ik_max_views is not None and cfg.ik_max_views < V:
+
+            def topk_views(obs, w):
+                score = jnp.sum(obs[..., 2], axis=-1) + w  # (T, V); 0 if unmatched
+                idx = jnp.argsort(-score, axis=1, stable=True)
+                idx = idx[:, : cfg.ik_max_views].astype(jnp.int32)
+                obs_k = jnp.take_along_axis(obs, idx[:, :, None, None], axis=1)
+                w_k = jnp.take_along_axis(w, idx, axis=1)
+                return obs_k, w_k, ctx.cams.P[idx]
+
+            upd_obs_ik, upd_w_ik, P_upd = topk_views(upd_obs, upd_w)
+            new_obs_ik, new_w_ik, P_new = topk_views(new_obs, new_w)
+        else:
+            upd_obs_ik, upd_w_ik, P_upd = upd_obs, upd_w, ctx.cams.P
+            new_obs_ik, new_w_ik, P_new = new_obs, new_w, ctx.cams.P
+
         # cold init: triangulate COCO+spine observations, root = hip midpoint
         # (ref:src/inverse_kinematics.py:389-397)
         def cold_init(obs_t, w_t):
@@ -734,7 +785,7 @@ def make_step(ctx: TrackerContext):
             def run_warm(_):
                 init = ik_ops.IkParams(state.root, state.euler, state.side_lens)
                 return ik_ops.solve_two_stage(
-                    init, skel, upd_obs, upd_w, ctx.cams.P,
+                    init, skel, upd_obs_ik, upd_w_ik, P_upd,
                     n_iters=cfg.ik_warm_iters, eps=cfg.ik_proj_eps,
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
                     lam_down=cfg.ik_lm_damping_down,
@@ -759,7 +810,7 @@ def make_step(ctx: TrackerContext):
                     side_lens=jnp.broadcast_to(skel.side_bone_lens, (T, 11)),
                 )
                 return ik_ops.solve_two_stage(
-                    init, skel, new_obs, new_w, ctx.cams.P,
+                    init, skel, new_obs_ik, new_w_ik, P_new,
                     n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
                     lam_down=cfg.ik_lm_damping_down,
@@ -809,6 +860,20 @@ def make_step(ctx: TrackerContext):
             new_euler = state.euler
             new_side = state.side_lens
 
+        # 7b. association-gate velocity (cfg.motion_gain): EMA of the
+        # per-update ROOT delta (whole-body translation); fresh spawns start
+        # at rest
+        if cfg.motion_gain:
+            dt = jnp.maximum(tsu, 1).astype(new_root.dtype)
+            dx = (new_root - state.root) / dt[:, None]
+            b = cfg.motion_vel_beta
+            ema = b * dx + (1.0 - b) * state.root_vel
+            new_vel = jnp.where(
+                spawned[:, None], 0.0,
+                jnp.where(update_mask[:, None], ema, state.root_vel))
+        else:
+            new_vel = state.root_vel
+
         # 8. lifecycle bookkeeping
         touched = update_mask | spawned
         new_hits = jnp.where(spawned, 1, jnp.where(update_mask, state.hits + 1, state.hits))
@@ -833,6 +898,7 @@ def make_step(ctx: TrackerContext):
             side_lens=new_side,
             pose3d=new_pose3d,
             pose3d_score=new_score,
+            root_vel=new_vel,
             next_track_id=next_tid,
         )
         out = FrameOutput(

@@ -218,3 +218,85 @@ def plot_tracklets_3d(tracklets, out_path: Path, max_tracklets: int = 10) -> Pat
     fig.savefig(out_path, dpi=110)
     plt.close(fig)
     return Path(out_path)
+
+
+def animate_tracklets_3d(
+    tracklets,
+    out_path: Path,
+    max_tracklets: int = 10,
+    fps: int = 24,
+    trail: int = 40,
+    elev: float = 20.0,
+    azim: float = -60.0,
+) -> Path:
+    """Animated 3D skeleton playback — the offline equivalent of the
+    reference's interactive matplotlib FuncAnimation window
+    (ref:src/pose_viz.py:69-215 `plot_poses_3d_reprojects` 3D panel /
+    189-215): per-frame 3D skeletons plus a fading hip trail, rendered
+    headless (Agg) and written as mp4/gif via FuncAnimation's writers
+    (PillowWriter fallback when ffmpeg is absent).  The reference shows this
+    live in a window; a TPU batch pipeline has no display, so the animation
+    is exported instead."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    tracklets = tracklets[:max_tracklets]
+    frames = sorted({f for t in tracklets for f in t.frame_idxs})
+    if not frames:
+        raise ValueError("no frames to animate")
+    b18_bones = list(BASIC_18_BONES)
+    coco_bones = _coco_bone_idx()
+
+    # world-extent box from all finite joints
+    pts = np.concatenate([t.poses_3d.reshape(-1, 3) for t in tracklets])
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    lo, hi = np.percentile(pts, 1, axis=0), np.percentile(pts, 99, axis=0)
+    pad = 0.3 * (hi - lo + 1e-6)
+
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.view_init(elev=elev, azim=azim)
+
+    def draw(fi):
+        f = frames[fi]
+        ax.cla()
+        ax.set_xlim(lo[0] - pad[0], hi[0] + pad[0])
+        ax.set_ylim(lo[1] - pad[1], hi[1] + pad[1])
+        ax.set_zlim(max(0.0, lo[2] - pad[2]), hi[2] + pad[2])
+        ax.set_title(f"frame {f}")
+        for t in tracklets:
+            if f not in t.frame_idxs:
+                continue
+            i = t.frame_idxs.index(f)
+            X = t.poses_3d[i]
+            c = np.asarray(track_color(t.track_id))[::-1] / 255.0
+            bones = b18_bones if X.shape[0] == 18 else coco_bones
+            for a, b in bones:
+                seg = X[[a, b]]
+                if np.isfinite(seg).all():
+                    ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], color=c, lw=1.5)
+            # fading hip trail over the last `trail` frames
+            past = [j for j, fj in enumerate(t.frame_idxs)
+                    if f - trail <= fj <= f]
+            if len(past) > 1:
+                hips = (t.poses_3d[past, 0] if X.shape[0] == 18
+                        else t.poses_3d[past][:, 11:13].mean(1))
+                ax.plot(hips[:, 0], hips[:, 1], hips[:, 2], color=c,
+                        lw=0.8, alpha=0.5)
+        return []
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(frames),
+                                   interval=1000.0 / fps, blit=False)
+    out_path = Path(out_path)
+    try:
+        if out_path.suffix == ".gif":
+            raise RuntimeError("gif requested")
+        anim.save(str(out_path), writer=animation.FFMpegWriter(fps=fps))
+    except Exception:
+        out_path = out_path.with_suffix(".gif")
+        anim.save(str(out_path), writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_path

@@ -40,6 +40,10 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
     cfg = PipelineConfig(
         n_views=n_views, max_people=n_people, max_tracks=16,
         max_frames=None, als_max_iter=100, ik_warm_stages=1, ik_solver="gj",
+        # identity-first: rescue off (PipelineConfig.crowded() semantics) —
+        # rescue adoption in crowds swaps identities mid-fragment, re-ID
+        # IDF1 0.707 -> 0.546 on 10x10 (docs/PERF.md r3 rescue/motion grid)
+        track_rescue_px=0.0,
     )
     seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
                              n_views=n_views, cfg=cfg, seed=0,

@@ -245,6 +245,9 @@ def test_viz_smoke(tmp_path):
         assert vid.stat().st_size > 0
     fig = viz.plot_tracklets_3d(tlets, tmp_path / "traj.png")
     assert fig.exists() and fig.stat().st_size > 0
+    # animated 3D playback (mp4 via ffmpeg, gif fallback otherwise)
+    anim = viz.animate_tracklets_3d(tlets, tmp_path / "anim.mp4", fps=4)
+    assert anim.exists() and anim.stat().st_size > 0
 
 
 def test_eval_counts_degenerate_poses():

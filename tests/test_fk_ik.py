@@ -257,3 +257,44 @@ def test_gj_solver_matches_cholesky_path():
         err_c = np.linalg.norm(np.asarray(j_chol[t])[sel] - gt_joints[sel], axis=-1).max()
         err_g = np.linalg.norm(np.asarray(j_gj[t])[sel] - gt_joints[sel], axis=-1).max()
         assert err_c < 0.02 and err_g < 0.02, (t, err_c, err_g)
+
+
+def test_per_track_projection_matrices_match_shared():
+    """solve_two_stage with P broadcast to (T, V, 3, 4) must equal the
+    shared-(V, 3, 4) solve bit-for-bit on both solver paths (the per-track-P
+    plumbing behind cfg.ik_max_views)."""
+    cams = synthetic_camera_ring(4)
+    skel = FK.Skeleton.default()
+    rng = np.random.RandomState(11)
+    T, V = 3, 4
+    gt_root = np.array([0.0, 0.0, 0.95])
+    gt_euler = np.zeros((18, 3)); gt_euler[0] = [np.pi / 2, 0, 0]
+    gt_side = np.asarray(FK.REF_SIDE_BONE_LENS)
+    gt_joints = np.asarray(FK.forward_kinematics(
+        skel, jnp.asarray(gt_root, dtype=jnp.float32),
+        jnp.asarray(gt_euler, dtype=jnp.float32),
+        jnp.asarray(gt_side, dtype=jnp.float32)))
+    P = np.asarray(cams.P, dtype=np.float64)
+    obs = np.zeros((T, V, 17, 3), dtype=np.float32)
+    for v in range(V):
+        homo = np.concatenate([gt_joints, np.ones((18, 1))], 1)
+        uv = homo @ P[v].T; uv = uv[:, :2] / uv[:, 2:3]
+        for s_i, o_i in zip(np.asarray(IK._SKEL_SEL), np.asarray(IK._OBS_SEL)):
+            if o_i < 17:
+                obs[:, v, o_i, :2] = uv[s_i]
+                obs[:, v, o_i, 2] = 1.0
+    init = IK.IkParams(
+        root=jnp.asarray(np.tile(gt_root + 0.06, (T, 1)), dtype=jnp.float32),
+        euler=jnp.asarray(np.tile(gt_euler[None], (T, 1, 1)) +
+                          rng.normal(0, 0.05, (T, 18, 3)), dtype=jnp.float32),
+        side_lens=jnp.asarray(np.tile(gt_side, (T, 1)), dtype=jnp.float32),
+    )
+    vw = jnp.ones((T, V))
+    P_shared = cams.P
+    P_per = jnp.broadcast_to(cams.P[None], (T,) + cams.P.shape)
+    for solver in ("chol", "gj"):
+        _, j_a = IK.solve_two_stage(init, skel, jnp.asarray(obs), vw, P_shared,
+                                    n_iters=10, solver=solver, interpret=True)
+        _, j_b = IK.solve_two_stage(init, skel, jnp.asarray(obs), vw, P_per,
+                                    n_iters=10, solver=solver, interpret=True)
+        np.testing.assert_array_equal(np.asarray(j_a), np.asarray(j_b))

@@ -243,6 +243,23 @@ def test_fast_preset_consistency(shelf_data_dir):
     assert abs(len(tp) - len(tf)) <= 3, (len(tp), len(tf))
     # reprojection quality preserved
     assert abs(mp.median_reproj_px - mf.median_reproj_px) < 0.3
+
+
+def test_crowded_preset_fields():
+    """`PipelineConfig.crowded()` is the identity-first preset: rescue off
+    (the measured 10x10 identity hazard, docs/PERF.md r3 rescue/motion
+    grid), everything else at parity defaults; overrides pass through."""
+    import dataclasses
+
+    from multiview_motion_capture_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig.crowded()
+    assert cfg.track_rescue_px == 0.0
+    base = PipelineConfig()
+    for f in dataclasses.fields(PipelineConfig):
+        if f.name != "track_rescue_px":
+            assert getattr(cfg, f.name) == getattr(base, f.name), f.name
+    assert PipelineConfig.crowded(n_views=10).n_views == 10
     assert abs(mp.mean_reproj_px - mf.mean_reproj_px) < 0.8
     # matched 3D poses agree to a few cm
     d = run_consistency_mpjpe(tp, tf)
@@ -267,3 +284,62 @@ def test_scan_cache_identity_guard(seq):
     assert fn_b is not fn_a, "cache served a scan compiled for a dead context"
     # and the poisoned entry was replaced with the correct one
     assert trk._SCAN_CACHE[id(ctx_b)][0] is ctx_b
+
+
+def test_ik_view_subset_matches_full_solve():
+    """cfg.ik_max_views: capping each track's LM solve at its k best views
+    must keep the same track structure and near-identical poses when the
+    retained views still constrain the pose well (8-view ring, k=4)."""
+    cfg_full = PipelineConfig(n_views=8, max_people=4, max_tracks=8,
+                              max_frames=None, als_max_iter=100,
+                              ik_warm_stages=1, ik_solver="gj")
+    cfg_sub = PipelineConfig(n_views=8, max_people=4, max_tracks=8,
+                             max_frames=None, als_max_iter=100,
+                             ik_warm_stages=1, ik_solver="gj",
+                             ik_max_views=4)
+    s = synthetic_sequence(n_frames=10, n_people=2, n_views=8,
+                           cfg=cfg_full, seed=3, drop_prob=0.0)
+    outs = {}
+    for name, cfg in (("full", cfg_full), ("sub", cfg_sub)):
+        ctx = TrackerContext.build(s.cameras, cfg, use_ik=True)
+        _, out = run_offline(ctx, jnp.asarray(s.batch.kps),
+                             jnp.asarray(s.batch.valid))
+        outs[name] = assemble_tracklets(jax.device_get(out))
+    assert len(outs["sub"]) == len(outs["full"])
+    for a, b in zip(outs["full"], outs["sub"]):
+        assert a.frame_idxs == b.frame_idxs
+        # same person, nearly the same pose: 4 well-placed ring cameras
+        # constrain the solve as well as 8
+        d = np.linalg.norm(a.poses_3d - b.poses_3d, axis=-1)
+        assert np.median(d) < 0.02, np.median(d)
+
+
+def test_motion_gain_velocity_state():
+    """cfg.motion_gain: the tracked EMA velocity must approximate the true
+    per-frame displacement of a constantly-moving person, and stay zero when
+    the feature is off."""
+    from multiview_motion_capture_tpu.tracker import TrackerState, make_step
+
+    cfg = PipelineConfig(n_views=4, max_people=3, max_tracks=4,
+                         max_frames=None, motion_gain=1.0,
+                         motion_vel_beta=1.0, als_max_iter=100)
+    s = synthetic_sequence(n_frames=10, n_people=1, n_views=4, cfg=cfg,
+                           seed=5, drop_prob=0.0, noise_px=0.1)
+    ctx = TrackerContext.build(s.cameras, cfg, use_ik=False)
+    state, _ = run_offline(ctx, jnp.asarray(s.batch.kps),
+                           jnp.asarray(s.batch.valid))
+    state = jax.device_get(state)
+    slot = int(np.argmax(state.active))
+    assert state.active[slot] > 0
+    gt_vel = s.gt_3d[-1, 0] - s.gt_3d[-2, 0]          # (17, 3) true delta
+    est_hip = state.root_vel[slot]
+    # the root is the hip midpoint: compare against the GT hip-center delta
+    gt_hip = 0.5 * (gt_vel[11] + gt_vel[12])
+    assert np.linalg.norm(est_hip - gt_hip) < 0.01, (est_hip, gt_hip)
+
+    cfg0 = PipelineConfig(n_views=4, max_people=3, max_tracks=4,
+                          max_frames=None, als_max_iter=100)
+    ctx0 = TrackerContext.build(s.cameras, cfg0, use_ik=False)
+    state0, _ = run_offline(ctx0, jnp.asarray(s.batch.kps),
+                            jnp.asarray(s.batch.valid))
+    assert not np.any(np.asarray(jax.device_get(state0).root_vel))
