@@ -75,7 +75,9 @@ def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
     Gauss-Jordan on the augmented block; rows >= rank_pad of the result are
     exactly zero (matching RHS_pad / lam = 0 of the full padded solve).
 
-    G: (pad, pad); RHS: (pad, pad).  Returns (pad, pad).
+    G: (rtile, rtile); RHS: (rtile, pad).  Returns (rtile, pad).
+    (rtile is the factor's padded column count — one 128-lane tile for any
+    true rank <= 128; pad is the padded matrix side.)
     """
     # Only the leading rank-block of the system is real: A's columns past
     # rank_pad are zero, so G's rows/cols and RHS's ROWS past rank_pad are
@@ -85,16 +87,16 @@ def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
     # augmented block (zero-offset slices keep Mosaic's layout rules happy;
     # the lane dim is padded to a tile internally either way, but the
     # sublane height is what each masked-select step pays for).
-    pad = G.shape[0]
-    rb = min(pad, max(32, rank_pad))  # 8-aligned block height
+    rtile, pad = G.shape[0], RHS.shape[1]
+    rb = min(rtile, max(32, rank_pad))  # 8-aligned block height
     eye_full = (
-        jax.lax.broadcasted_iota(jnp.int32, (rb, pad), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (rb, pad), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (rb, rtile), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (rb, rtile), 1)
     ).astype(G.dtype)
     # rows only (sublane dim): lanes stay at the full tile width — a 32-lane
     # slice forces per-step relayouts that explode Mosaic compile time
-    A_blk = G[:rb, :] + lam * eye_full           # (rb, pad)
-    aug = jnp.concatenate([A_blk, RHS[:rb, :]], axis=1)  # (rb, 2*pad)
+    A_blk = G[:rb, :] + lam * eye_full           # (rb, rtile)
+    aug = jnp.concatenate([A_blk, RHS[:rb, :]], axis=1)  # (rb, rtile + pad)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, aug.shape, 0)
     for k in range(rank_pad):  # static unroll: SPD + ridge needs no pivoting
         pivot_row = aug[k : k + 1, :] / aug[k, k]
@@ -103,9 +105,9 @@ def _ridge_solve_gj(G: Array, lam: Array, RHS: Array, rank_pad: int) -> Array:
         # (masked select instead of .at[].set — scatter updates capture index
         # constants the pallas tracer rejects)
         aug = jnp.where(row_ids == k, pivot_row, aug - col * pivot_row)
-    sol = aug[:, pad:]  # (rb, pad); rows in [rank_pad, rb) are exactly zero
+    sol = aug[:, rtile:]  # (rb, pad); rows in [rank_pad, rb) are exactly zero
     return jnp.concatenate(
-        [sol, jnp.zeros((pad - rb, pad), dtype=G.dtype)], axis=0
+        [sol, jnp.zeros((rtile - rb, pad), dtype=G.dtype)], axis=0
     )
 
 
@@ -124,6 +126,12 @@ def _als_kernel(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
     n_true = params_ref[6]
 
     W = 0.5 * (W + W.T)
+    # A0 is (pad, rtile) — the factor keeps only one-lane-tile-aligned
+    # columns (rtile = 128 for any true rank <= 128).  At pad = 384 this
+    # cuts the per-iteration matmul FLOPs ~3.3x vs the earlier square
+    # (pad, pad) factor: A^T A and B^T B contract to (rtile, rtile), and
+    # A B^T is (pad, rtile) x (rtile, pad).  Exact-math identical — the
+    # dropped columns are structurally zero through every iterate.
 
     def ridge_solve(G, lam, RHS):
         return _ridge_solve_gj(G, lam, RHS, rank_pad)
@@ -179,7 +187,7 @@ def match_als_pallas(
     W_pad: Array,        # (pad, pad) zero-padded similarity (pad = 128*k)
     keep: Array,         # (pad, pad) f32 mask
     eye_t: Array,        # (pad, pad) f32 true-diagonal
-    init_A_pad: Array,   # (pad, pad) zero-padded init factor
+    init_A_pad: Array,   # (pad, rtile) zero-padded init factor (rtile = 128*j)
     n_true: int | Array,
     alpha: float = 50.0,
     beta: float = 0.1,
@@ -241,12 +249,17 @@ class PallasAlsContext(NamedTuple):
                 f"MAX_PAD={MAX_PAD}; use the XLA backend"
             )
         keep, eye_t = build_masks(n, np.asarray(diag_mask), pad=pad)
+        rank = int(np.asarray(init_A).shape[1])
+        # factor columns padded to the next lane tile only (not the full
+        # matrix side): rank <= 128 keeps the factor one tile wide, which
+        # is what makes the multi-tile kernels' matmuls cheap
+        rtile = min(pad, pad_for(rank))
         return cls(
             keep=jnp.asarray(keep),
             eye_t=jnp.asarray(eye_t),
-            init_A=jnp.asarray(_pad_to(np.asarray(init_A, dtype=np.float32), pad, pad)),
+            init_A=jnp.asarray(_pad_to(np.asarray(init_A, dtype=np.float32), pad, rtile)),
             n_true=n,
-            rank=int(np.asarray(init_A).shape[1]),
+            rank=rank,
             pad=pad,
         )
 

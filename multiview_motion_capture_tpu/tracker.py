@@ -465,15 +465,24 @@ def _clustered_association(
     elem_valid = jnp.where(any_alive, ev_st, ev_sp)
     d23_global = _track_det_distances(ctx, state, kps, det_valid)
 
-    x_global = jnp.zeros((N, N), dtype=bool)
+    # scatter-free assembly: cluster c's detections are the STRIDED slice
+    # [c::C] of the (V, P) grid, so each per-cluster match matrix splits
+    # into tracklet-tracklet / tracklet-det / det-det blocks that land in
+    # the global matrix via static strided updates on zeros (cheap masked
+    # selects) + concatenation.  The index-array `np.ix_(ids, ids)`
+    # gather/scatter this replaces measured ~3.8 ms/frame on the 64-cam rig
+    # (pred gather fusions + s32 index staging, docs/PERF.md) — the single
+    # most expensive op group of the clustered profile.  Bit-identical
+    # x_global to the scatter version: blocks are disjoint except the
+    # tracklet-tracklet corner, which ORs across clusters.
     iters = jnp.asarray(0, jnp.int32)
     cluster_of_view = np.arange(V) % C           # interleaved clusters
+    x_tt = jnp.zeros((T, T), dtype=bool)
+    x_td = jnp.zeros((T, V, P), dtype=bool)
+    x_dd = jnp.zeros((V, P, V, P), dtype=bool)
     for c in range(C):
         views_c = np.nonzero(cluster_of_view == c)[0]
-        ids = np.concatenate(
-            [np.arange(T)]
-            + [T + v * P + np.arange(P) for v in views_c]
-        )  # static (T + W,) global element indices of this cluster
+        Vc = len(views_c)
         sim_st_c, _, _ = _spatial_time_similarity(ctx, state, kps, det_valid,
                                                   view_idx=views_c)
         sim_sp_c, _ = _spatial_similarity(ctx, kps, det_valid,
@@ -483,9 +492,15 @@ def _clustered_association(
                        ctx.cluster_diag_mask, ctx.cluster_init_A)
         xb = als.x_bin
         iters = iters + als.n_iters
-        x_global = x_global.at[np.ix_(ids, ids)].set(
-            x_global[np.ix_(ids, ids)] | xb
+        x_tt = x_tt | xb[:T, :T]
+        x_td = x_td.at[:, c::C, :].set(xb[:T, T:].reshape(T, Vc, P))
+        x_dd = x_dd.at[c::C, :, c::C, :].set(
+            xb[T:, T:].reshape(Vc, P, Vc, P)
         )
+    x_td = x_td.reshape(T, V * P)
+    top = jnp.concatenate([x_tt, x_td], axis=1)
+    bottom = jnp.concatenate([x_td.T, x_dd.reshape(V * P, V * P)], axis=1)
+    x_global = jnp.concatenate([top, bottom], axis=0)
 
     # ---- cross-cluster merge of NEW-person groups ----
     g0 = assoc.extract_groups(x_global, elem_valid)
@@ -743,11 +758,12 @@ def make_step(ctx: TrackerContext):
         new_obs, new_w = _gather_obs(kps, s_match, s_exists)
         new_w = new_w * spawned[:, None].astype(new_w.dtype)
 
-        # wide rigs (cfg.ik_max_views): each track's LM solve sees only its
-        # k highest-score matched views — per-track (T, k, ...) gathers with
-        # matching per-track P rows.  Residual work scales with views, so
-        # this caps the V=64 solve at k-view cost; triangulation (spawn-only)
-        # keeps all views.
+        # wide rigs (cfg.ik_max_views): each track's per-frame solve (LM in
+        # IK mode, refined triangulation otherwise) sees only its k
+        # highest-score matched views — per-track (T, k, ...) gathers with
+        # matching per-track P / K_inv rows.  Residual work scales with
+        # views, so this caps the V=64 solve at k-view cost; SPAWN
+        # triangulation (cold_init / tri_all) keeps all views.
         if cfg.ik_max_views is not None and cfg.ik_max_views < V:
 
             def topk_views(obs, w):
@@ -756,12 +772,13 @@ def make_step(ctx: TrackerContext):
                 idx = idx[:, : cfg.ik_max_views].astype(jnp.int32)
                 obs_k = jnp.take_along_axis(obs, idx[:, :, None, None], axis=1)
                 w_k = jnp.take_along_axis(w, idx, axis=1)
-                return obs_k, w_k, ctx.cams.P[idx]
+                return obs_k, w_k, ctx.cams.P[idx], ctx.K_inv[idx]
 
-            upd_obs_ik, upd_w_ik, P_upd = topk_views(upd_obs, upd_w)
-            new_obs_ik, new_w_ik, P_new = topk_views(new_obs, new_w)
+            upd_obs_ik, upd_w_ik, P_upd, Kinv_upd = topk_views(upd_obs, upd_w)
+            new_obs_ik, new_w_ik, P_new, _ = topk_views(new_obs, new_w)
         else:
-            upd_obs_ik, upd_w_ik, P_upd = upd_obs, upd_w, ctx.cams.P
+            upd_obs_ik, upd_w_ik = upd_obs, upd_w
+            P_upd, Kinv_upd = ctx.cams.P, ctx.K_inv
             new_obs_ik, new_w_ik, P_new = new_obs, new_w, ctx.cams.P
 
         # cold init: triangulate COCO+spine observations, root = hip midpoint
@@ -837,15 +854,20 @@ def make_step(ctx: TrackerContext):
             new_score = jnp.where((sel_s | sel_u)[:, None],
                                   jnp.ones_like(state.pose3d_score), state.pose3d_score)
         else:
-            # triangulation pass-through (SURVEY.md §7.2 minimum slice)
-            def tri_update(obs_t, w_t):
+            # triangulation pass-through (SURVEY.md §7.2 minimum slice);
+            # updates honor the ik_max_views cap (a 64-view refined
+            # triangulation per track per frame measured SLOWER than a
+            # capped 16-view LM solve, docs/PERF.md)
+            def tri_update(obs_t, w_t, P_t, Kinv_t):
                 obs18 = ik_ops.add_mid_spine(obs_t)
                 return triangulate_points(
-                    ctx.cams.P, ctx.K_inv, obs18, w_t > 0,
+                    P_t, Kinv_t, obs18, w_t > 0,
                     cfg.triangulate_min_score, cfg.triangulate_refine_iters,
                 )
 
-            tri_upd = jax.vmap(tri_update)(upd_obs, upd_w)
+            p_ax = 0 if P_upd.ndim == 4 else None
+            tri_upd = jax.vmap(tri_update, in_axes=(0, 0, p_ax, p_ax))(
+                upd_obs_ik, upd_w_ik, P_upd, Kinv_upd)
             tri_all, _ = jax.vmap(cold_init)(new_obs, new_w)
             sel_u, sel_s = update_mask, spawned
             new_pose3d = jnp.where(

@@ -35,11 +35,12 @@ from multiview_motion_capture_tpu.tracker import (
 
 
 def bench_config(n_views, n_people, n_frames=200, als_backend="auto",
-                 clusters=1):
+                 clusters=1, ik_max_views=None):
     cfg = PipelineConfig(
         n_views=n_views, max_people=n_people, max_tracks=16,
         max_frames=None, als_max_iter=100, ik_warm_stages=1, ik_solver="gj",
         als_backend=als_backend, assoc_clusters=clusters,
+        ik_max_views=ik_max_views,
     )
     seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
                              n_views=n_views, cfg=cfg, seed=0,
@@ -77,11 +78,14 @@ def main():
     results = {
         "10cam_x_10ppl": bench_config(10, 10),
         "20cam_x_10ppl": bench_config(20, 10, n_frames=100),
+        # N = 336, the widest monolithic 3-tile fused-kernel config
+        "32cam_x_10ppl": bench_config(32, 10, n_frames=60),
         # N = 16 + 640 = 656, past the fused kernel's 384: hierarchical
         # association (2 interleaved clusters of 32 cams, each N_c = 336 on
-        # the 3-tile fused kernel + centroid merge)
+        # the 3-tile fused kernel + centroid merge); ik_max_views=16 is the
+        # recommended wide-rig setting (docs/PERF.md)
         "64cam_x_10ppl_2clusters": bench_config(64, 10, n_frames=60,
-                                                clusters=2),
+                                                clusters=2, ik_max_views=16),
     }
     print(json.dumps({
         "metric": "scaled_rig_fps",

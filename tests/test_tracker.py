@@ -243,6 +243,10 @@ def test_fast_preset_consistency(shelf_data_dir):
     assert abs(len(tp) - len(tf)) <= 3, (len(tp), len(tf))
     # reprojection quality preserved
     assert abs(mp.median_reproj_px - mf.median_reproj_px) < 0.3
+    assert abs(mp.mean_reproj_px - mf.mean_reproj_px) < 0.8
+    # matched 3D poses agree to a few cm
+    d = run_consistency_mpjpe(tp, tf)
+    assert d < 0.05, d
 
 
 def test_crowded_preset_fields():
@@ -260,10 +264,6 @@ def test_crowded_preset_fields():
         if f.name != "track_rescue_px":
             assert getattr(cfg, f.name) == getattr(base, f.name), f.name
     assert PipelineConfig.crowded(n_views=10).n_views == 10
-    assert abs(mp.mean_reproj_px - mf.mean_reproj_px) < 0.8
-    # matched 3D poses agree to a few cm
-    d = run_consistency_mpjpe(tp, tf)
-    assert d < 0.05, d
 
 
 def test_scan_cache_identity_guard(seq):
