@@ -230,6 +230,210 @@ def match_als_pallas(
     return X > 0.5, iters[0]
 
 
+def _ridge_solve_gj_batched(G: Array, lams, RHS: Array,
+                            rank_pad: int) -> Array:
+    """Batched `_ridge_solve_gj`: G (C, rtile, rtile), lams = C traced
+    scalars, RHS (C, rtile, pad) -> (C, rtile, pad).  Same
+    statically-unrolled elimination; the C problems ride the leading
+    (major) dimension, so the ~rank_pad-step sequential dependency chain —
+    the kernel's measured per-iteration latency floor — is paid ONCE for
+    all C clusters instead of per cluster (the same amortization that took
+    the LM Gauss-Jordan solve from grid to one-program,
+    ops/solve_pallas.py).  lam rides as per-cluster scalars because Mosaic
+    cannot broadcast a (C, 1, 1) vector across both sublanes and lanes."""
+    C, rtile = G.shape[0], G.shape[1]
+    pad = RHS.shape[2]
+    rb = min(rtile, max(32, rank_pad))
+    eye_full = (
+        jax.lax.broadcasted_iota(jnp.int32, (rb, rtile), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (rb, rtile), 1)
+    ).astype(G.dtype)
+    A_blk = jnp.concatenate(
+        [(G[c, :rb, :] + lams[c] * eye_full)[None] for c in range(C)],
+        axis=0)                                          # (C, rb, rtile)
+    aug = jnp.concatenate([A_blk, RHS[:, :rb, :]], axis=2)  # (C, rb, rtile+pad)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, aug.shape, 1)
+    for k in range(rank_pad):  # static unroll: SPD + ridge needs no pivoting
+        pivot_row = aug[:, k : k + 1, :] / aug[:, k : k + 1, k : k + 1]
+        col = aug[:, :, k : k + 1]
+        aug = jnp.where(row_ids == k, pivot_row, aug - col * pivot_row)
+    sol = aug[:, :, rtile:]                               # (C, rb, pad)
+    return jnp.concatenate(
+        [sol, jnp.zeros((C, rtile - rb, pad), dtype=G.dtype)], axis=1
+    )
+
+
+def _als_kernel_batched(w_ref, keep_ref, eye_ref, inita_ref, params_ref,
+                       x_out_ref, iters_ref, *, rank_pad: int):
+    """C independent ALS solves (same layout, different W) in ONE program.
+
+    Identical per-cluster semantics to `_als_kernel`: each cluster's state
+    freezes the moment ITS stop test fires (residuals or stable
+    binarization), so a cluster's result is bit-equal to its own
+    single-problem solve; the loop runs until every cluster is done.  What
+    batching buys is the ridge-GJ dependency chain and the per-iteration
+    loop overhead amortized across clusters — the xplane profile shows the
+    384-pad kernel at a ~13.7 us/iteration latency floor that the
+    narrow-factor matmul reduction did not move (docs/PERF.md).
+
+    Matmuls and transposes are statically unrolled over the (small, 2-4)
+    cluster count — per-slice 2D ops keep Mosaic's layout rules happy.
+    Per-cluster bookkeeping (mu, residuals, stability counters, done
+    flags) is carried as C separate TRUE SCALARS, never rank-1 (C,)
+    vectors: Mosaic's vector-layout inference CHECK-crashes on rank-1
+    elementwise ops inside this kernel (layout.h:320 `arr.size() >=
+    layout_rank`), the same class of crash as r1's rank-3 output issue.
+    """
+    W = w_ref[:]           # (C, pad, pad)
+    keep = keep_ref[:]     # (pad, pad) shared across clusters
+    eye_t = eye_ref[:]
+    A0 = inita_ref[:]      # (pad, rtile) shared
+    alpha = params_ref[0]
+    beta = params_ref[1]
+    mu0 = params_ref[2]
+    tol = params_ref[3]
+    max_iter = params_ref[4].astype(jnp.int32)
+    stable_iters = params_ref[5].astype(jnp.int32)
+    n_true = params_ref[6]
+    C = W.shape[0]
+
+    def per_c(fn):
+        return jnp.concatenate([fn(c)[None] for c in range(C)], axis=0)
+
+    W = 0.5 * (W + per_c(lambda c: W[c].T))
+    A_init = per_c(lambda c: A0)
+
+    def cond(state):
+        it = state[4]
+        done = state[7]
+        done_all = done[0]
+        for c in range(1, C):
+            done_all = jnp.logical_and(done_all, done[c])
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done_all))
+
+    def body(state):
+        X, Z, Y, A, it, mu, stable, done, iters = state
+        X0 = X
+        bin0 = X > 0.5
+        lams = [alpha / m for m in mu]
+        # scalar-broadcast elementwise ops run per cluster (2D x scalar):
+        # Mosaic rejects broadcasting a (C,1,1) across sublanes AND lanes
+        Xn = per_c(lambda c: Z[c] - (Y[c] - W[c] + beta) / mu[c])
+        AtA = per_c(lambda c: jnp.dot(A[c].T, A[c],
+                                      preferred_element_type=jnp.float32))
+        R1 = per_c(lambda c: jnp.dot(A[c].T, Xn[c],
+                                     preferred_element_type=jnp.float32))
+        Bs = _ridge_solve_gj_batched(AtA, lams, R1, rank_pad)
+        B = per_c(lambda c: Bs[c].T)                      # (C, pad, rtile)
+        BtB = per_c(lambda c: jnp.dot(B[c].T, B[c],
+                                      preferred_element_type=jnp.float32))
+        R2 = per_c(lambda c: jnp.dot(B[c].T, Xn[c].T,
+                                     preferred_element_type=jnp.float32))
+        As = _ridge_solve_gj_batched(BtB, lams, R2, rank_pad)
+        An = per_c(lambda c: As[c].T)                     # (C, pad, rtile)
+        Xn = per_c(lambda c: jnp.dot(An[c], Bs[c],
+                                     preferred_element_type=jnp.float32))
+        Zn = per_c(lambda c: jnp.clip(
+            (Xn[c] + Y[c] / mu[c]) * keep + eye_t, 0.0, 1.0))
+        Yn = per_c(lambda c: Y[c] + mu[c] * (Xn[c] - Zn[c]))
+
+        # per-cluster scalar bookkeeping + frozen-state selection
+        Xs, Zs, Ys, As_, = [], [], [], []
+        mu_o, stable_o, done_o, iters_o = [], [], [], []
+        for c in range(C):
+            upd = jnp.logical_not(done[c])
+            p_res = jnp.sqrt(jnp.sum((Xn[c] - Zn[c]) ** 2)) / n_true
+            d_res = mu[c] * jnp.sqrt(jnp.sum((Xn[c] - X0[c]) ** 2)) / n_true
+            same = jnp.all((Xn[c] > 0.5) == bin0[c])
+            stable_n = jnp.where(same, stable[c] + 1, 0)
+            done_n = jnp.logical_or(
+                jnp.logical_and(p_res < tol, d_res < tol),
+                jnp.logical_and(stable_iters > 0, stable_n >= stable_iters),
+            )
+            mu_n = jnp.where(p_res > 10 * d_res, 2 * mu[c],
+                             jnp.where(d_res > 10 * p_res, mu[c] / 2, mu[c]))
+            Xs.append(jnp.where(upd, Xn[c], X[c])[None])
+            Zs.append(jnp.where(upd, Zn[c], Z[c])[None])
+            Ys.append(jnp.where(upd, Yn[c], Y[c])[None])
+            As_.append(jnp.where(upd, An[c], A[c])[None])
+            mu_o.append(jnp.where(upd, mu_n, mu[c]))
+            stable_o.append(jnp.where(upd, stable_n, stable[c]))
+            done_o.append(jnp.where(upd, done_n, done[c]))
+            iters_o.append(jnp.where(upd, it + 1, iters[c]))
+        return (jnp.concatenate(Xs, axis=0), jnp.concatenate(Zs, axis=0),
+                jnp.concatenate(Ys, axis=0), jnp.concatenate(As_, axis=0),
+                it + 1, tuple(mu_o), tuple(stable_o), tuple(done_o),
+                tuple(iters_o))
+
+    state0 = (
+        W, W, jnp.zeros_like(W), A_init,
+        jnp.asarray(0, jnp.int32),
+        tuple(mu0 * jnp.ones((), jnp.float32) for _ in range(C)),
+        tuple(jnp.asarray(0, jnp.int32) for _ in range(C)),
+        tuple(jnp.asarray(False) for _ in range(C)),
+        tuple(jnp.asarray(0, jnp.int32) for _ in range(C)),
+    )
+    out = jax.lax.while_loop(cond, body, state0)
+    X, iters = out[0], out[8]
+    x_out_ref[:] = 0.5 * (X + per_c(lambda c: X[c].T))
+    for c in range(C):
+        iters_ref[c] = iters[c]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "beta", "mu0", "tol", "max_iter", "stable_iters",
+                     "rank", "interpret"),
+)
+def match_als_pallas_batched(
+    W_pad: Array,        # (C, pad, pad) zero-padded similarities
+    keep: Array,         # (pad, pad) f32 mask (shared layout)
+    eye_t: Array,        # (pad, pad) f32 true-diagonal
+    init_A_pad: Array,   # (pad, rtile) zero-padded init factor
+    n_true: int | Array,
+    alpha: float = 50.0,
+    beta: float = 0.1,
+    mu0: float = 64.0,
+    tol: float = 1e-4,
+    max_iter: int = 1000,
+    stable_iters: int = 10,
+    rank: int = TILE,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Batched `match_als_pallas` over C same-layout problems.  Returns
+    (x_bin (C, pad, pad) bool, n_iters (C,)).  Per-problem results equal
+    the single-problem kernel's (each problem freezes at its own stop
+    test); used by the hierarchical-cluster association, where the C
+    per-cluster solves otherwise run sequentially."""
+    C, pad = W_pad.shape[0], W_pad.shape[1]
+    rank_pad = min(pad, max(8, -(-int(rank) // 8) * 8))
+    params = jnp.asarray(
+        [alpha, beta, mu0, tol, float(max_iter), float(stable_iters), 0.0],
+        dtype=jnp.float32,
+    )
+    params = params.at[6].set(jnp.asarray(n_true, jnp.float32))
+    X, iters = pl.pallas_call(
+        functools.partial(_als_kernel_batched, rank_pad=rank_pad),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, pad, pad), jnp.float32),
+            jax.ShapeDtypeStruct((C,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(W_pad, keep, eye_t, init_A_pad, params)
+    return X > 0.5, iters
+
+
 class PallasAlsContext(NamedTuple):
     """Precomputed padded constants for a fixed (n, group_sizes) layout."""
 

@@ -475,23 +475,49 @@ def _clustered_association(
     # most expensive op group of the clustered profile.  Bit-identical
     # x_global to the scatter version: blocks are disjoint except the
     # tracklet-tracklet corner, which ORs across clusters.
-    iters = jnp.asarray(0, jnp.int32)
     cluster_of_view = np.arange(V) % C           # interleaved clusters
-    x_tt = jnp.zeros((T, T), dtype=bool)
-    x_td = jnp.zeros((T, V, P), dtype=bool)
-    x_dd = jnp.zeros((V, P, V, P), dtype=bool)
-    for c in range(C):
-        views_c = np.nonzero(cluster_of_view == c)[0]
-        Vc = len(views_c)
+    cluster_views = [np.nonzero(cluster_of_view == c)[0] for c in range(C)]
+    subs = []
+    for views_c in cluster_views:
         sim_st_c, _, _ = _spatial_time_similarity(ctx, state, kps, det_valid,
                                                   view_idx=views_c)
         sim_sp_c, _ = _spatial_similarity(ctx, kps, det_valid,
                                           view_idx=views_c)
-        sub = jnp.where(any_alive, sim_st_c, sim_sp_c)
-        als = _run_als(ctx, sub, ctx.cluster_pallas_ctx,
-                       ctx.cluster_diag_mask, ctx.cluster_init_A)
-        xb = als.x_bin
-        iters = iters + als.n_iters
+        subs.append(jnp.where(any_alive, sim_st_c, sim_sp_c))
+
+    if ctx.cluster_pallas_ctx is not None:
+        # one batched kernel for all C cluster solves: each cluster freezes
+        # at its own stop test (per-cluster results equal the sequential
+        # kernels'), but the ridge-GJ latency chain — the kernel's measured
+        # per-iteration floor — is paid once, not C times
+        from multiview_motion_capture_tpu.ops import als_pallas
+        pc = ctx.cluster_pallas_ctx
+        n_c = subs[0].shape[0]
+        W_pad = jnp.stack(
+            [als_pallas.pad_similarity(s, pc.pad) for s in subs])
+        x_pads, iters_c = als_pallas.match_als_pallas_batched(
+            W_pad, pc.keep, pc.eye_t, pc.init_A, pc.n_true,
+            alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+            tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+            stable_iters=cfg.als_stable_iters, rank=pc.rank,
+            interpret=ctx.als_interpret,
+        )
+        xbs = [x_pads[c, :n_c, :n_c] for c in range(C)]
+        iters = iters_c.sum()
+    else:
+        xbs = []
+        iters = jnp.asarray(0, jnp.int32)
+        for sub in subs:
+            als = _run_als(ctx, sub, None, ctx.cluster_diag_mask,
+                           ctx.cluster_init_A)
+            xbs.append(als.x_bin)
+            iters = iters + als.n_iters
+
+    x_tt = jnp.zeros((T, T), dtype=bool)
+    x_td = jnp.zeros((T, V, P), dtype=bool)
+    x_dd = jnp.zeros((V, P, V, P), dtype=bool)
+    for c, (views_c, xb) in enumerate(zip(cluster_views, xbs)):
+        Vc = len(views_c)
         x_tt = x_tt | xb[:T, :T]
         x_td = x_td.at[:, c::C, :].set(xb[:T, T:].reshape(T, Vc, P))
         x_dd = x_dd.at[c::C, :, c::C, :].set(

@@ -116,6 +116,47 @@ def test_pallas_three_tile_matches_xla():
     np.testing.assert_array_equal(np.asarray(gp.member), np.asarray(gx.member))
 
 
+def test_pallas_batched_matches_single():
+    """The batched multi-cluster kernel must reproduce each problem's
+    single-kernel result bit-for-bit: every cluster freezes at its own
+    stop test, so batching only amortizes the loop, never changes the
+    math (tracker._clustered_association relies on this)."""
+    problems = []
+    for seed in (3, 4):
+        sizes = tuple(np.random.RandomState(50 + seed).randint(8, 11, size=8))
+        W, groups, sizes = _random_problem(seed, sizes=sizes, n_people=10)
+        n = len(groups)
+        mask = A.block_diag_mask(sizes)
+        problems.append((W, n, mask))
+    # same layout across clusters (the cluster contexts share masks): use
+    # the first problem's mask/size for both, second W cropped/padded to n
+    W0, n, mask = problems[0]
+    W1 = problems[1][0][:n, :n]
+    init = A.default_init_factor(n, 16)
+    ctx = AP.PallasAlsContext.build(n, mask, init)
+
+    singles = []
+    for W in (W0, W1):
+        xb, it = AP.match_als_pallas(
+            AP.pad_similarity(jnp.asarray(W), ctx.pad), ctx.keep, ctx.eye_t,
+            ctx.init_A, ctx.n_true, stable_iters=10, rank=ctx.rank,
+            interpret=True,
+        )
+        singles.append((np.asarray(xb), int(it)))
+
+    W_b = jnp.stack([AP.pad_similarity(jnp.asarray(W), ctx.pad)
+                     for W in (W0, W1)])
+    xb_b, it_b = AP.match_als_pallas_batched(
+        W_b, ctx.keep, ctx.eye_t, ctx.init_A, ctx.n_true,
+        stable_iters=10, rank=ctx.rank, interpret=True,
+    )
+    xb_b = np.asarray(xb_b)
+    it_b = np.asarray(it_b)
+    for c in range(2):
+        np.testing.assert_array_equal(xb_b[c], singles[c][0])
+        assert int(it_b[c]) == singles[c][1], (c, it_b, singles[c][1])
+
+
 def test_pallas_padding_stays_zero():
     W, groups, sizes = _random_problem(7)
     n = len(groups)

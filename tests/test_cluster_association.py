@@ -75,6 +75,32 @@ def test_clustered_with_ik_and_tracklet_bridging():
     assert len(long) == 2, [len(t) for t in tlets]
 
 
+def test_clustered_pallas_batched_matches_xla():
+    """The batched multi-cluster Pallas kernel (one program for all C
+    cluster solves) must reproduce the XLA per-cluster path through the
+    full tracker."""
+    cfg_x = _cfg(8, 2)
+    cfg_p = PipelineConfig(n_views=8, max_people=6, max_tracks=8,
+                           max_frames=None, als_backend="pallas",
+                           assoc_clusters=2)
+    seq = synthetic_sequence(n_frames=6, n_people=3, n_views=8, cfg=cfg_x,
+                             seed=11, drop_prob=0.0, min_person_distance=1.2)
+    kps = jnp.asarray(seq.batch.kps)
+    valid = jnp.asarray(seq.batch.valid)
+    outs = []
+    for cfg in (cfg_x, cfg_p):
+        ctx = TrackerContext.build(seq.cameras, cfg, use_ik=False)
+        if cfg.als_backend == "pallas":
+            assert ctx.cluster_pallas_ctx is not None
+        _, out = run_offline(ctx, kps, valid)
+        outs.append(assemble_tracklets(jax.device_get(out)))
+    a, b = outs
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        assert x.frame_idxs == y.frame_idxs
+        np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-4)
+
+
 def test_cluster_divisibility_rejected():
     with pytest.raises(ValueError, match="not divisible"):
         from multiview_motion_capture_tpu.cameras import synthetic_camera_ring
