@@ -54,7 +54,12 @@ class PipelineConfig:
     # force "xla" / "pallas"
     als_backend: str = "auto"
     # ---- hierarchical association (rigs beyond the N=384 fused-ALS reach) --
-    # > 1 partitions the cameras into this many contiguous clusters: each
+    # > 1 partitions the cameras into this many INTERLEAVED clusters
+    # (cluster c = views c, c+C, c+2C, ...): on a ring rig every cluster
+    # then spans the full angular range, keeping wide baselines inside each
+    # cluster.  (Contiguous sections were measured to merge depth-aligned
+    # people — adjacent views cannot separate two people along the
+    # section's depth axis; see tracker._clustered_association.)  Each
     # cluster solves its own [tracklets | its views] ALS (each small enough
     # for the fused kernel), and the per-cluster binarized matches are
     # synthesized into one global match matrix.  Tracklets appear in EVERY
@@ -142,17 +147,18 @@ class PipelineConfig:
 
     @classmethod
     def fast(cls, **overrides) -> "PipelineConfig":
-        """Non-parity speed preset (~11% faster Shelf end-to-end, measured
-        780 vs 700 fps in docs/PERF.md).
+        """Non-parity speed preset.
 
-        Identical to the parity defaults except `als_stable_iters=6`: the
-        ALS early-exit fires after 6 unchanged binarizations instead of 10.
-        The reference's residual-only convergence test effectively runs all
-        1000 iterations (ref:src/mv_association.py:261,275), so ANY early
-        exit is a deviation; 10 was chosen because it reproduces the parity
-        run bit-exactly on Shelf, 6 perturbs near-threshold association on
-        ~1 frame in 300 (35 vs 34 fragments, one fragment boundary moves;
-        same long tracks, median reprojection unchanged at 6.45 px — see
+        Identical to the SHELF_BENCH capacities (max_people=6, max_tracks=8,
+        single-stage warm IK, fused GJ solver) except `als_stable_iters=6`:
+        the ALS early-exit fires after 6 unchanged binarizations instead of
+        SHELF_BENCH's 10 (the full-parity default is 15).  The reference's
+        residual-only convergence test effectively runs all 1000 iterations
+        (ref:src/mv_association.py:261,275), so ANY early exit is a
+        deviation; 10 reproduces the parity run bit-exactly on Shelf, 6
+        perturbs near-threshold association on ~1 frame in 300 (35 vs 34
+        fragments, one fragment boundary moves; same long tracks, median
+        reprojection unchanged at 6.45 px — see
         tests/test_tracker.py::test_fast_preset_consistency).  Use when
         throughput matters more than bit-parity with the reference schedule.
         """

@@ -242,6 +242,11 @@ def make_bottom_up_detector(
         to_frame = jnp.asarray([W / hw_, H / hh], dtype=kps_hm.dtype)
         xy = kps_hm[..., :2] * to_frame
         kps = jnp.concatenate([xy, kps_hm[..., 2:3]], axis=-1)
+        # centers in frame pixels too (decode_bottom_up emits heatmap px;
+        # keypoints and centers must share units for downstream cropping/viz)
+        centers = jnp.concatenate(
+            [centers[..., :2] * to_frame, centers[..., 2:]], axis=-1
+        )
         if det_min_score > 0:
             valid = valid & (jnp.max(kps[..., 2], axis=-1) > det_min_score)
         return kps, centers, valid

@@ -186,12 +186,13 @@ def run(
 def filter_ghost_tracklets(
     tracklets: List[Tracklet], min_length: int = 1
 ) -> List[Tracklet]:
-    """Config-gated ghost filter (VERDICT r2 weak #4): drop tracklets shorter
-    than `min_length` frames, and tracklets with NO finite pose at all (a
-    degenerate 2-view spawn that triangulated to infinity and died — it can
-    survive the re-ID merge as a one-frame 'identity').  `min_length=1`
-    keeps everything except the never-finite ghosts' impossible geometry is
-    still dropped only when min_length > 1; the parity default is a no-op.
+    """Config-gated ghost filter (VERDICT r2 weak #4): with `min_length > 1`,
+    drop tracklets shorter than `min_length` frames AND tracklets with no
+    finite pose at all (a degenerate 2-view spawn that triangulated to
+    infinity and died — it can survive the re-ID merge as a one-frame
+    'identity').  `min_length <= 1` is a strict no-op: EVERYTHING is kept,
+    never-finite ghosts included, reproducing the reference's raw fragment
+    output (the parity default).
     """
     if min_length <= 1:
         return tracklets

@@ -112,7 +112,10 @@ def als_f64_oracle_shaped(sim, cfg):
 
 
 def main():
-    cfg = PipelineConfig(max_frames=N_FRAMES)  # the parity-study config
+    # the parity-study config: rescue pinned OFF — this script diagnoses the
+    # STRICT reference-lifecycle deaths (rescue, default-on since r3, would
+    # erase exactly the deaths being root-caused here)
+    cfg = PipelineConfig(max_frames=N_FRAMES, track_rescue_px=0.0)
     batch, cams = load_shelf(cfg)
     kps, valid = batch.kps[:N_FRAMES], batch.valid[:N_FRAMES]
 
@@ -150,14 +153,14 @@ def main():
 
     # diagnose each excess death at its frame: state BEFORE the step
     diag = []
+    import dataclasses as _dc
     for f, slot in excess:
-        state = TrackerState(
-            *[jnp.asarray(np.asarray(getattr(pre_states, fld))[f])
-              for fld in (
-                  "active", "track_id", "hits", "time_since_update", "root",
-                  "euler", "side_lens", "pose3d", "pose3d_score",
-                  "next_track_id")]
-        )
+        # rebuild by keyword from TrackerState's OWN fields so future field
+        # additions cannot silently break the study (advisor r3)
+        state = TrackerState(**{
+            fld.name: jnp.asarray(np.asarray(getattr(pre_states, fld.name))[f])
+            for fld in _dc.fields(TrackerState)
+        })
         # note: predict() runs before similarity in the step; replicate
         tsu = state.time_since_update + (state.active > 0).astype(jnp.int32)
         state = state.replace(time_since_update=tsu)

@@ -1,4 +1,10 @@
-"""Full-frame multi-person detection (BASELINE config 5 without crops)."""
+"""LEGACY-CASCADE full-frame detection gates (propose->crop->top-down path).
+
+These are demo-level thresholds for the DEPRECATED r2 cascade
+(`data.detect.make_multi_person_detector`), kept because the cascade remains
+a supported alternate path.  The production detection quality gates — the
+shipped bottom-up checkpoint's recall >= 0.9 @ 12 px / err <= 3 px /
+e2e MPJPE <= 3 cm — live in tests/test_shipped_checkpoint.py."""
 import sys
 from pathlib import Path
 
