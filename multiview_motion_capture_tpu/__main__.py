@@ -64,6 +64,15 @@ def main(argv=None) -> int:
     p_run.add_argument("--reid", action="store_true",
                        help="offline re-identification merge of tracklet "
                             "fragments (bone-length + trajectory evidence)")
+    p_run.add_argument("--debug_dump", default=None, metavar="DIR",
+                       help="per-frame association diagnostics: similarity "
+                            "matrix csv/npz, ALS X + |X-0.5| margins, group "
+                            "parse, track->detection distances (the "
+                            "reference's xlsx/crop debug surface)")
+    p_run.add_argument("--debug_frames", default=None,
+                       help="comma-separated frame indices for --debug_dump "
+                            "(default: every frame where a track dies, "
+                            "capped at 20)")
     _add_common(p_run)
 
     p_det = sub.add_parser(
@@ -140,6 +149,22 @@ def main(argv=None) -> int:
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)
+        if args.debug_dump:
+            from multiview_motion_capture_tpu import debug as dbg
+            from multiview_motion_capture_tpu.data.ingest import filter_bad_poses
+            from multiview_motion_capture_tpu.tracker import TrackerContext
+
+            fb = filter_bad_poses(batch, cfg)
+            nmax = (min(fb.n_frames, cfg.max_frames)
+                    if cfg.max_frames else fb.n_frames)
+            dbg_frames = ([int(x) for x in args.debug_frames.split(",")]
+                          if args.debug_frames else None)
+            ctx = TrackerContext.build(cams, cfg, use_ik=not args.no_ik)
+            paths = dbg.dump_association_debug(
+                ctx, fb.kps[:nmax], fb.valid[:nmax], Path(args.debug_dump),
+                frames=dbg_frames,
+            )
+            print(f"debug dump: {len(paths)} frames -> {args.debug_dump}")
         if args.bvh and not args.no_ik:
             from multiview_motion_capture_tpu.utils.bvh import export_tracklet_bvh
 

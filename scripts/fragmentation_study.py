@@ -22,6 +22,11 @@ This script instruments every tracker death on the 300-frame Shelf run:
          genuine geometric separation).
 
 Run: python scripts/fragmentation_study.py   (CPU, ~5 min incl. oracle)
+
+NOTE: the per-frame replay plumbing this script hand-rolled (pre-state scan,
+similarity + ALS re-run, margins) is now a first-class tool —
+`multiview_motion_capture_tpu.debug.dump_association_debug` / the CLI's
+`run --debug_dump DIR`.  New studies should start there.
 """
 from __future__ import annotations
 
