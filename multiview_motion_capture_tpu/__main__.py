@@ -95,6 +95,11 @@ def main(argv=None) -> int:
     p_det.add_argument("--crop_h", type=int, default=512)
     p_det.add_argument("--crop_w", type=int, default=384)
     p_det.add_argument("--no_ik", action="store_true")
+    p_det.add_argument("--appearance", action="store_true",
+                       help="appearance-evidence association: the detector "
+                            "also emits keypoint-color-layout embeddings "
+                            "and the tracker uses them to disambiguate "
+                            "crossings (bottom-up checkpoint only)")
     _add_common(p_det)
 
     p_viz = sub.add_parser("viz", help="render tracklets to video")
@@ -238,18 +243,31 @@ def main(argv=None) -> int:
                 "to run with random-init weights (the output would be noise)"
             )
 
+        use_app = bool(args.appearance)
+        if use_app and not mcfg.predict_offsets:
+            parser.error("--appearance needs the bottom-up checkpoint "
+                         "(predict_offsets=True)")
         if mcfg.predict_offsets:
             # single-pass bottom-up (the shipped checkpoint's architecture)
-            detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people)
+            detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people,
+                                             return_appearance=use_app)
         else:
             detect = make_multi_person_detector(
                 mcfg, max_people=cfg.max_people,
                 crop_hw=(args.crop_h, args.crop_w),
             )
         t0 = time.perf_counter()
-        batch = frames_to_frame_batch(detect, params, images, cfg)
+        app = None
+        if use_app:
+            batch, app = frames_to_frame_batch(detect, params, images, cfg,
+                                               collect_appearance=True)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, appearance_dim=app.shape[-1])
+        else:
+            batch = frames_to_frame_batch(detect, params, images, cfg)
         detect_s = time.perf_counter() - t0
-        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik)
+        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik, app=app)
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)

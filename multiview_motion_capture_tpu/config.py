@@ -102,6 +102,34 @@ class PipelineConfig:
     # its subject with no competitor nearby — passes untouched.  0 disables.
     track_rescue_ambiguity: float = 1.5
 
+    # ---- appearance evidence in association (new; no reference analogue) ---
+    # > 0 enables per-detection appearance embeddings in the tracker: the
+    # step consumes an extra (V, P, appearance_dim) unit-vector input, every
+    # track carries an EMA appearance vector, and the 2D-3D similarity block
+    # (track -> detection) pays `appearance_gain_px` pixels of distance per
+    # unit cosine distance between them.  This targets the crossing-instant
+    # association ambiguity that geometry cannot resolve (two people inside
+    # one reprojection gate -> in-fragment identity switches, docs/PERF.md
+    # r3 crowd study); the rescue pass and reprojection metrics keep using
+    # the raw geometric distances.  0 = reference semantics (geometry only).
+    appearance_dim: int = 0
+    appearance_gain_px: float = 20.0   # px per unit cosine distance; swept
+                                       # 8..80 on the 10x10 crowd — 20 is
+                                       # the best re-ID IDF1/IDsw point
+                                       # (0.775/87 vs geometry-only
+                                       # 0.707/110, docs/PERF.md r4)
+    appearance_beta: float = 0.5       # per-update EMA factor
+
+    # ---- crowd-density preset safety (new; no reference analogue) ----------
+    # pipeline.run warns when the mean number of concurrently CONFIRMED
+    # tracks reaches this while track rescue is active: rescue is a
+    # sparse-scene remedy and a measured identity hazard in crowds (re-ID
+    # IDF1 0.707 -> 0.546 on the 10x10 synthetic, docs/PERF.md r3 study).
+    # Threshold provenance: Shelf — the sparse case rescue was built for —
+    # runs ~4 concurrent tracks; the 10x10 hazard case runs ~9-10.  0
+    # disables the warning.
+    density_warn_tracks: float = 6.0
+
     # ---- motion-predicted association (new; no reference analogue) ---------
     # Constant-velocity prediction of each track's 3D pose inside the
     # track->detection reprojection gate: d23 is measured from
@@ -123,9 +151,22 @@ class PipelineConfig:
     ik_lm_damping_up: float = 10.0
     ik_lm_damping_down: float = 0.33
     # warm-start solves: 2 = reference's pose-then-bone-lengths schedule,
-    # 1 = single all-parameter stage (same optimum, half the solver cost;
-    # cold starts always use 2 stages)
+    # 1 = single all-parameter stage (same optimum, half the solver cost)
     ik_warm_stages: int = 2
+    # cold (spawn) solves: 2 = the reference's staged schedule
+    # (ref:src/inverse_kinematics.py:402-407) — required for ZERO-init
+    # angles, where the joint pose must settle before bone lengths unlock;
+    # 1 = single all-parameter solve.  This tracker cold-starts from the
+    # GEOMETRIC init (ik.geometric_init), which may make the staged warmup
+    # redundant (VERDICT r3 next #1a); quality-gate before switching.
+    ik_cold_stages: int = 2
+    # LM early-exit tolerances (relative cost decrease / step size).  The
+    # f32 defaults are near the roundoff floor; wide rigs whose LM whiles
+    # dominate the profile can trade tail iterations for throughput here
+    # (association is binarized and the pose tail is sub-0.1px — verify
+    # with the bench quality gate).
+    ik_ftol: float = 2e-6
+    ik_xtol: float = 1e-6
     # LM linear solver: "chol" (batched Cholesky via vmap) or "gj" (fused
     # Pallas Gauss-Jordan over all slots in one kernel)
     ik_solver: str = "chol"

@@ -196,6 +196,55 @@ def make_multi_person_detector(
     return detect
 
 
+def appearance_from_keypoints(images, kps, valid, min_score: float = 0.1):
+    """Keypoint-color-layout appearance descriptor.
+
+    Samples each detection's image RGB at its keypoint locations (the
+    person's own pixels — shirt/pants/skin tones in body-part order),
+    masks low-score keypoints, flattens to (K*3,) and unit-normalizes.
+    Normalization cancels global brightness/exposure scaling, and the
+    per-part layout separates same-colored-but-differently-dressed people.
+
+    Chosen over PoseNet trunk features after measurement: the trunk is
+    TRAINED to ignore appearance (domain-randomized palettes), and its
+    center-sampled features carry no identity signal (same-person vs
+    different-person cosine gap 0.004 on stable-tint renders, docs/PERF.md
+    r4); raw color layout at the keypoints separates cleanly.  Works with
+    any detector's output (bottom-up, cascade, or external OpenPose).
+
+    images: (V, H, W, 3) f32 in [0,1]; kps: (V, P, K, 3) in IMAGE pixels
+    (same resolution as `images`); valid: (V, P).
+    Returns (V, P, K*3) unit rows (zero rows for invalid detections).
+    """
+    V, P, K = kps.shape[:3]
+    rgb = jax.vmap(lambda img, pts: _sample_bilinear(img, pts))(
+        images, kps[..., :2].reshape(V, P * K, 2)
+    ).reshape(V, P, K, 3)
+    w = (kps[..., 2:3] > min_score).astype(rgb.dtype)
+    emb = (rgb * w).reshape(V, P, K * 3)
+    emb = emb * valid[..., None].astype(emb.dtype)
+    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                             1e-6)
+
+
+def _sample_bilinear(feat, xy):
+    """Bilinear feature sampling: feat (H, W, C), xy (P, 2) grid px ->
+    (P, C)."""
+    H, W = feat.shape[:2]
+    x = jnp.clip(xy[:, 0], 0.0, W - 1.001)
+    y = jnp.clip(xy[:, 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    f00 = feat[y0, x0]
+    f01 = feat[y0, x0 + 1]
+    f10 = feat[y0 + 1, x0]
+    f11 = feat[y0 + 1, x0 + 1]
+    return ((1 - wy) * ((1 - wx) * f00 + wx * f01)
+            + wy * ((1 - wx) * f10 + wx * f11))
+
+
 def make_bottom_up_detector(
     model_cfg: PoseNetConfig,
     max_people: int,
@@ -205,6 +254,7 @@ def make_bottom_up_detector(
     snap_window: int = 7,
     snap_min: float = 0.15,
     det_min_score: float = 0.0,
+    return_appearance: bool = False,
 ):
     """SINGLE-PASS full-frame multi-person detector (the >100 fps path).
 
@@ -218,7 +268,12 @@ def make_bottom_up_detector(
     ref:src/motion_capture.py:974-984) in its own bottom-up style.
 
     detect_fn: (V, H, W, 3) images (f32 in [0,1] or uint8) ->
-    (kps (V, max_people, K, 3) in frame pixels, centers, valid).
+    (kps (V, max_people, K, 3) in frame pixels, centers, valid) — plus
+    per-detection appearance embeddings (V, max_people, K*3) when
+    `return_appearance=True`: the keypoint-color-layout descriptor
+    (`appearance_from_keypoints`), unit rows (zero for empty slots), ready
+    for the tracker's appearance-evidence term (config.appearance_dim).
+    Same single forward either way.
     """
     assert model_cfg.predict_offsets, "bottom-up path needs the offset head"
     model = PoseNet(model_cfg)
@@ -239,6 +294,13 @@ def make_bottom_up_detector(
             snap_window=snap_window, snap_min=snap_min,
         )
         hh, hw_ = heat.shape[1], heat.shape[2]
+        if return_appearance:
+            # keypoint-color-layout descriptor, sampled from the (resized)
+            # input frames at the decoded keypoints (heatmap px -> resized
+            # frame px is the /4 head stride)
+            kps_img = jnp.concatenate(
+                [kps_hm[..., :2] * 4.0, kps_hm[..., 2:3]], axis=-1)
+            emb = appearance_from_keypoints(images, kps_img, valid)
         to_frame = jnp.asarray([W / hw_, H / hh], dtype=kps_hm.dtype)
         xy = kps_hm[..., :2] * to_frame
         kps = jnp.concatenate([xy, kps_hm[..., 2:3]], axis=-1)
@@ -249,31 +311,62 @@ def make_bottom_up_detector(
         )
         if det_min_score > 0:
             valid = valid & (jnp.max(kps[..., 2], axis=-1) > det_min_score)
+        if return_appearance:
+            return kps, centers, valid, emb
         return kps, centers, valid
 
     return detect
 
 
-def frames_to_frame_batch(detect_fn, params, images, cfg: PipelineConfig) -> FrameBatch:
+def frames_to_frame_batch(detect_fn, params, images, cfg: PipelineConfig,
+                          collect_appearance: bool = False):
     """Run the multi-person detector over a whole sequence.
 
     images: (F, V, H, W, 3) float in [0, 1] (numpy or jax), one device
     dispatch per frame (all V views batched inside detect_fn) so device
     memory stays bounded; the result plugs into pipeline.run like prepared
     OpenPose data.
+
+    `collect_appearance=True` (detect_fn built with
+    `make_bottom_up_detector(return_appearance=True)`) additionally returns
+    the per-detection embeddings (F, V, P, D) for the tracker's
+    appearance-evidence term — the return becomes `(FrameBatch, app)`.
     """
     F = images.shape[0]
     P = cfg.max_people
     kps_out = None  # allocated from the detector's own K on the first frame
     valid_out = np.zeros((F, cfg.n_views, P), dtype=bool)
+    app_out = None
+    # upload/compute overlap: device_put is async, so starting frame f+1's
+    # host->device copy BEFORE dispatching frame f's network overlaps the
+    # transfer with compute — the uint8 upload is the measured bottleneck
+    # of e2e detection on tunneled TPUs (docs/PERF.md)
+    nxt = jax.device_put(images[0]) if F else None
     for f in range(F):
-        kps, _, valid = detect_fn(params, jnp.asarray(images[f]))
+        cur = nxt
+        if f + 1 < F:
+            nxt = jax.device_put(images[f + 1])
+        out = detect_fn(params, cur)
+        if collect_appearance:
+            kps, _, valid, emb = out
+        else:
+            kps, _, valid = out
         if kps_out is None:
             kps_out = np.zeros((F, cfg.n_views, P, kps.shape[-2], 3),
                                dtype=np.float32)
+            if collect_appearance:
+                app_out = np.zeros((F, cfg.n_views, P, emb.shape[-1]),
+                                   dtype=np.float32)
         n = min(P, kps.shape[1])
         kps_out[f, :, :n] = np.asarray(kps)[:, :n]
         valid_out[f, :, :n] = np.asarray(valid)[:, :n]
+        if collect_appearance:
+            app_out[f, :, :n] = np.asarray(emb)[:, :n]
     if kps_out is None:
         kps_out = np.zeros((F, cfg.n_views, P, 17, 3), dtype=np.float32)
-    return FrameBatch(kps=kps_out, valid=valid_out)
+    batch = FrameBatch(kps=kps_out, valid=valid_out)
+    if collect_appearance:
+        if app_out is None:
+            app_out = np.zeros((F, cfg.n_views, P, 0), dtype=np.float32)
+        return batch, app_out
+    return batch

@@ -160,7 +160,8 @@ def generate_samples(
 
 
 def render_sequence(seq, render_cfg: RenderConfig,
-                    world_scale: float = 0.25, seed: int = 0) -> np.ndarray:
+                    world_scale: float = 0.25, seed: int = 0,
+                    person_tints: np.ndarray = None) -> np.ndarray:
     """Render a SyntheticSequence's views consistently (no per-sample zoom):
     (F, V, H, W, 3) frames whose detections match `seq.batch.kps *
     world_scale` — the end-to-end detect->track evaluation input (pair with
@@ -180,7 +181,10 @@ def render_sequence(seq, render_cfg: RenderConfig,
                 if slot_p[s] >= 0 else 1e9
                 for s in range(len(pres))
             ])
-            out[f, v] = render_scene(kseq[f, v], pres, depth, rng, render_cfg)
+            tints = (person_tints[np.clip(slot_p, 0, None)]
+                     if person_tints is not None else None)
+            out[f, v] = render_scene(kseq[f, v], pres, depth, rng, render_cfg,
+                                     person_tints=tints)
     return out
 
 

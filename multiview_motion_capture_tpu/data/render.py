@@ -119,13 +119,20 @@ def _segment_alpha(H, W, a, b, sigma):
 
 
 def render_person(kps_xy: np.ndarray, hw, rng: np.random.RandomState,
-                  cfg: RenderConfig, scale: float = 1.0):
+                  cfg: RenderConfig, scale: float = 1.0,
+                  tint: np.ndarray = None):
     """One person -> (alpha (H, W), rgb (H, W, 3)).  `scale` widens strokes
-    for near/large people (pass bone-length-proportional values)."""
+    for near/large people (pass bone-length-proportional values).
+
+    `tint` (3,) overrides the per-call random appearance jitter with a
+    STABLE per-person color multiplier — the appearance-consistent mode the
+    tracker's appearance-evidence studies need (training data keeps the
+    default: identity deliberately NOT color-separable)."""
     H, W = hw
     alpha = np.zeros((H, W), dtype=np.float32)
     rgb = np.zeros((H, W, 3), dtype=np.float32)
-    jit = 1.0 + cfg.appearance_jitter * rng.uniform(-1, 1, size=(3,))
+    jit = (np.asarray(tint, dtype=np.float32) if tint is not None
+           else 1.0 + cfg.appearance_jitter * rng.uniform(-1, 1, size=(3,)))
     ls = cfg.limb_sigma * max(scale, 0.5)
     js = cfg.joint_sigma * max(scale, 0.5)
     for bi, (i, j) in enumerate(COCO_BONE_IDX):
@@ -143,6 +150,8 @@ def render_scene(
     depth: Optional[np.ndarray],  # (P,) camera distance (occlusion order)
     rng: np.random.RandomState,
     cfg: RenderConfig,
+    person_tints: Optional[np.ndarray] = None,   # (P, 3) stable per-person
+                                                 # color multipliers
 ) -> np.ndarray:
     """Full randomized frame: background + distractors + depth-ordered
     people (nearer occludes farther).  Returns (H, W, 3) f32 in [0, 1]."""
@@ -177,7 +186,9 @@ def render_scene(
         # stroke width follows apparent size (shoulder-to-hip px distance)
         ref = np.linalg.norm(kps_xy[p, _CIDX_LS] - kps_xy[p, _CIDX_LH])
         scale = float(np.clip(ref / 45.0, 0.5, 3.0))
-        alpha, rgb = render_person(kps_xy[p], cfg.hw, rng, cfg, scale=scale)
+        tint = person_tints[p] if person_tints is not None else None
+        alpha, rgb = render_person(kps_xy[p], cfg.hw, rng, cfg, scale=scale,
+                                   tint=tint)
         img = img * (1 - alpha[..., None]) + rgb * alpha[..., None]
 
     img *= rng.uniform(*cfg.brightness_range)

@@ -86,7 +86,15 @@ class PoseNet(nn.Module):
     cfg: PoseNetConfig = PoseNetConfig()
 
     @nn.compact
-    def __call__(self, images: Array, train: bool = False) -> Array:
+    def __call__(self, images: Array, train: bool = False,
+                 return_features: bool = False) -> Array:
+        """`return_features=True` additionally returns the pre-head /4
+        feature map (B, H/4, W/4, head_features); parameter structure is
+        unchanged.  NOTE: measured in r4, these trunk features carry no
+        appearance-identity signal (the net is domain-randomization-trained
+        to IGNORE appearance; same- vs different-person cosine gap 0.004)
+        — the production appearance descriptor is
+        data.detect.appearance_from_keypoints, not this."""
         c = self.cfg
         x = images.astype(c.compute_dtype)
         # stem: /4
@@ -108,6 +116,8 @@ class PoseNet(nn.Module):
             x = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x).astype(c.compute_dtype)
             x = nn.relu(x)
         heat = nn.Conv(c.n_out, (1, 1), dtype=jnp.float32)(x)
+        if return_features:
+            return heat, x.astype(jnp.float32)
         return heat
 
 

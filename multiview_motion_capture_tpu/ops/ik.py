@@ -289,6 +289,8 @@ def _lm_solve(
     lam0: float,
     lam_up: float,
     lam_down: float,
+    ftol: float = 2e-6,
+    xtol: float = 1e-6,
 ) -> Array:
     """Levenberg-Marquardt over the packed parameter vector, restricted to
     `free_mask` parameters (stage 1 freezes bone lengths).
@@ -296,13 +298,10 @@ def _lm_solve(
     Runs as a `lax.while_loop` capped at `n_iters` (the reference's
     `max_nfev`) with a scipy-style early exit on relative cost decrease /
     step size — TRF typically stops well before its eval budget too.
-    `jax.linearize` shares the primal FK evaluation between the residual and
-    its 68-column forward-mode jacobian."""
-
-    # f32 roundoff puts a ~1e-7 floor on achievable relative cost decrease;
-    # tighter tolerances just burn the full iteration budget without moving x
-    ftol = 2e-6
-    xtol = 1e-6
+    f32 roundoff puts a ~1e-7 floor on achievable relative cost decrease,
+    so the default tolerances sit just above it; wide-rig configs can
+    loosen them (cfg.ik_ftol/ik_xtol) to trade tail iterations for
+    throughput."""
 
     def resid(x):
         return _residual(x, skel, obs, view_w, P, eps)
@@ -369,6 +368,8 @@ def _lm_solve_batched(
     lam_up: float,
     lam_down: float,
     interpret: bool = False,
+    ftol: float = 2e-6,
+    xtol: float = 1e-6,
 ) -> Array:
     """Batched LM over all T slots at once, solving every slot's damped
     normal equations in ONE fused Pallas Gauss-Jordan kernel
@@ -376,9 +377,6 @@ def _lm_solve_batched(
     Per-slot convergence freezes that slot; the loop runs while any slot is
     active (same semantics as the vmapped per-slot while)."""
     from multiview_motion_capture_tpu.ops.solve_pallas import batched_spd_solve
-
-    ftol = 2e-6
-    xtol = 1e-6
     T, n = x0.shape
     eye = jnp.eye(n, dtype=x0.dtype)
     frozen_diag = jnp.diag(1.0 - free_mask)
@@ -440,7 +438,7 @@ _FREE_ALL = np.ones(N_PARAMS, dtype=np.float32)
 @high_precision
 @functools.partial(jax.jit, static_argnames=("n_iters", "eps", "lam0", "lam_up",
                                              "lam_down", "stages", "solver",
-                                             "interpret"))
+                                             "interpret", "ftol", "xtol"))
 def solve_two_stage(
     init: IkParams,
     skel: Skeleton,
@@ -455,6 +453,8 @@ def solve_two_stage(
     stages: int = 2,
     solver: str = "chol",
     interpret: bool = False,
+    ftol: float = 2e-6,
+    xtol: float = 1e-6,
 ) -> Tuple[IkParams, Array]:
     """The reference's solve(): pose-only then pose+bone-lengths
     (ref:src/inverse_kinematics.py:402-407), batched over a leading tracklet
@@ -486,7 +486,8 @@ def solve_two_stage(
         def stage(x, mask):
             return _lm_solve_batched(x, skel, obs, view_w, P, mask, n_iters,
                                      eps, lam0, lam_up, lam_down,
-                                     interpret=interpret)
+                                     interpret=interpret, ftol=ftol,
+                                     xtol=xtol)
 
         if stages == 1:
             x = stage(x0, free_all)
@@ -496,11 +497,11 @@ def solve_two_stage(
         def solve_one(x0_t, obs_t, w_t, P_t):
             if stages == 1:
                 return _lm_solve(x0_t, skel, obs_t, w_t, P_t, free_all, n_iters,
-                                 eps, lam0, lam_up, lam_down)
+                                 eps, lam0, lam_up, lam_down, ftol, xtol)
             x1 = _lm_solve(x0_t, skel, obs_t, w_t, P_t, free_pose, n_iters, eps,
-                           lam0, lam_up, lam_down)
+                           lam0, lam_up, lam_down, ftol, xtol)
             return _lm_solve(x1, skel, obs_t, w_t, P_t, free_all, n_iters, eps,
-                             lam0, lam_up, lam_down)
+                             lam0, lam_up, lam_down, ftol, xtol)
 
         p_ax = 0 if P.ndim == 4 else None
         x = jax.vmap(solve_one, in_axes=(0, 0, 0, p_ax))(x0, obs, view_w, P)

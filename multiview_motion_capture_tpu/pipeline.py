@@ -43,10 +43,49 @@ class RunResult:
     wall_time_s: float
     track_time_s: float
     timings: dict
+    # mean concurrent CONFIRMED tracks over the run (density diagnostic;
+    # feeds the crowd-preset safety warning)
+    mean_concurrent_tracks: float = 0.0
 
     @property
     def fps(self) -> float:
         return self.n_frames / max(self.track_time_s, 1e-9)
+
+
+def _density_guard(cfg: PipelineConfig, host_out) -> float:
+    """Crowd-density preset safety (r3 identity study, docs/PERF.md): track
+    rescue — ON by default because it repairs Shelf-style sparse-scene
+    fragmentation — becomes an IDENTITY HAZARD in crowds (10x10 synthetic:
+    re-ID IDF1 0.707 with rescue off vs 0.546 with it on; a dying track in
+    a crowd has usually drifted onto ANOTHER person, and adopting that
+    person's detections swaps identities mid-fragment, which no offline
+    relabeling can repair).  Nothing in the input declares density, so the
+    run itself is the detector: when the mean number of concurrently
+    CONFIRMED tracks reaches `cfg.density_warn_tracks` with rescue active, a
+    prominent warning recommends `PipelineConfig.crowded()`.
+
+    Returns the mean concurrent confirmed-track count (RunResult diagnostic).
+    """
+    active = np.asarray(host_out.active)  # (F, T)
+    if active.size == 0:
+        return 0.0
+    mean_conc = float((active == 2).sum(axis=1).mean())
+    if (cfg.track_rescue_px > 0 and cfg.density_warn_tracks > 0
+            and mean_conc >= cfg.density_warn_tracks):
+        import warnings
+
+        warnings.warn(
+            f"Dense scene: {mean_conc:.1f} concurrent confirmed tracks on "
+            f"average (threshold {cfg.density_warn_tracks:g}) with track "
+            f"rescue ACTIVE (track_rescue_px="
+            f"{cfg.track_rescue_px:g}).  In crowds, rescue adoption swaps "
+            "identities mid-fragment (measured re-ID IDF1 0.707 -> 0.546 on "
+            "a 10x10 synthetic crowd, docs/PERF.md).  Use "
+            "PipelineConfig.crowded() (rescue off, identity-first) for "
+            "dense scenes, or set density_warn_tracks=0 to silence this.",
+            stacklevel=3,
+        )
+    return mean_conc
 
 
 def prepare(kps_dir: Path, out_path: Path, cfg: Optional[PipelineConfig] = None,
@@ -69,6 +108,7 @@ def run(
     checkpoint_every: int = 100,
     reid: bool = False,
     reid_cfg=None,
+    app: Optional[np.ndarray] = None,
 ) -> RunResult:
     """run mode: filter detections, track + solve the whole sequence.
 
@@ -116,6 +156,13 @@ def run(
     kps = jnp.asarray(batch.kps[start:end])
     valid = jnp.asarray(batch.valid[start:end])
     frame_idxs = frame_idxs[start:end]
+    if cfg.appearance_dim > 0:
+        if app is None:
+            raise ValueError("cfg.appearance_dim > 0: run() needs "
+                             "app=(F, V, P, D) detection embeddings")
+        app_arr = jnp.asarray(np.asarray(app)[start:end])
+    else:
+        app_arr = None
 
     with timer.stage("build_context"):
         ctx = TrackerContext.build(cams, cfg, use_ik=use_ik)
@@ -144,7 +191,9 @@ def run(
             for c in range(first_chunk, n_chunks):
                 s = c * checkpoint_every
                 e = min(n, s + checkpoint_every)
-                state, outs = scan_chunk(state, (kps[s:e], valid[s:e]))
+                frames = ((kps[s:e], valid[s:e], app_arr[s:e])
+                          if app_arr is not None else (kps[s:e], valid[s:e]))
+                state, outs = scan_chunk(state, frames)
                 jax.block_until_ready(outs.pose3d)
                 ckpt.save_chunk(checkpoint_dir, c, e, state, jax.device_get(outs))
         track_time = time.perf_counter() - t1
@@ -157,16 +206,17 @@ def run(
             wall_time_s=time.perf_counter() - t0,
             track_time_s=track_time,
             timings=timer.summary(),
+            mean_concurrent_tracks=_density_guard(cfg, host_out),
         )
 
     t0 = time.perf_counter()
     with timer.stage("compile+track"):
-        state, outputs = run_offline(ctx, kps, valid)
+        state, outputs = run_offline(ctx, kps, valid, app=app_arr)
         jax.block_until_ready(outputs.pose3d)
     # timed run excludes compilation: scan again for the steady-state number
     with timer.stage("track"):
         t1 = time.perf_counter()
-        state, outputs = run_offline(ctx, kps, valid)
+        state, outputs = run_offline(ctx, kps, valid, app=app_arr)
         jax.block_until_ready(outputs.pose3d)
         track_time = time.perf_counter() - t1
 
@@ -180,6 +230,7 @@ def run(
         wall_time_s=time.perf_counter() - t0,
         track_time_s=track_time,
         timings=timer.summary(),
+        mean_concurrent_tracks=_density_guard(cfg, host_out),
     )
 
 

@@ -78,6 +78,8 @@ class TrackerState:
     root_vel: Array      # (T, 3) EMA per-frame ROOT velocity (association gate;
                          # whole-body translation only — limb motion is noise
                          # for crossing disambiguation, measured in r3)
+    app_ema: Array       # (T, cfg.appearance_dim) EMA appearance embedding
+                         # per track (zero-width when appearance is off)
     next_track_id: Array  # () int32
 
     @classmethod
@@ -94,6 +96,7 @@ class TrackerState:
             pose3d=jnp.zeros((T, 18, 3)),
             pose3d_score=jnp.zeros((T, 18)),
             root_vel=jnp.zeros((T, 3)),
+            app_ema=jnp.zeros((T, cfg.appearance_dim)),
             next_track_id=jnp.asarray(0, jnp.int32),
         )
 
@@ -142,10 +145,17 @@ class TrackerContext:
     cluster_diag_mask: Array = None
     cluster_init_A: Array = None
     cluster_pallas_ctx: object = None
+    # optional mesh over the CLUSTER axis: the C independent per-cluster ALS
+    # solves shard_map to devices (parallel.sharded_solvers), zero
+    # collectives until the output gather feeding the global closure —
+    # multi-chip decomposition of ONE rig's solver stage
+    cluster_mesh: object = None
+    cluster_mesh_axis: str = "cl"
 
     @classmethod
     def build(cls, cams: CameraBank, cfg: PipelineConfig, use_ik: bool = True,
-              mesh=None, mesh_axis: str = "dp") -> "TrackerContext":
+              mesh=None, mesh_axis: str = "dp", cluster_mesh=None,
+              cluster_mesh_axis: str = "cl") -> "TrackerContext":
         K = np.asarray(cams.K, dtype=np.float64)
         Rt = np.asarray(cams.Rt, dtype=np.float64)
         P = np.asarray(cams.P, dtype=np.float64)
@@ -196,6 +206,15 @@ class TrackerContext:
                 f"n_views={cfg.n_views} not divisible by mesh axis "
                 f"{mesh_axis}={mesh.shape[mesh_axis]}"
             )
+        if cluster_mesh is not None:
+            if cfg.assoc_clusters <= 1:
+                raise ValueError("cluster_mesh needs assoc_clusters > 1")
+            n_cl = cluster_mesh.shape[cluster_mesh_axis]
+            if cfg.assoc_clusters % n_cl != 0:
+                raise ValueError(
+                    f"assoc_clusters={cfg.assoc_clusters} not divisible by "
+                    f"cluster mesh axis {cluster_mesh_axis}={n_cl}"
+                )
         return cls(
             cfg=cfg,
             cams=cams,
@@ -213,6 +232,8 @@ class TrackerContext:
             cluster_diag_mask=cluster_diag_mask,
             cluster_init_A=cluster_init_A,
             cluster_pallas_ctx=cluster_pallas_ctx,
+            cluster_mesh=cluster_mesh,
+            cluster_mesh_axis=cluster_mesh_axis,
         )
 
 
@@ -260,9 +281,28 @@ def _track_det_distances(ctx: TrackerContext, state: TrackerState,
                      d23, jnp.nan)
 
 
+def _appearance_penalty(cfg: PipelineConfig, app_ema: Array, app: Array) -> Array:
+    """Appearance term of the 2D-3D similarity block: `appearance_gain_px`
+    pixels of distance per unit cosine distance between a track's EMA
+    embedding and a detection's embedding (crossing-instant disambiguation;
+    zero wherever either side has no embedding yet).
+
+    app_ema: (T, D); app: (V, P, D).  Returns (T, V, P).
+    """
+    eps = 1e-6
+    tn = jnp.linalg.norm(app_ema, axis=-1)                # (T,)
+    dn = jnp.linalg.norm(app, axis=-1)                    # (V, P)
+    cos = jnp.einsum("td,vpd->tvp", app_ema, app) / (
+        jnp.maximum(tn, eps)[:, None, None] * jnp.maximum(dn, eps)[None]
+    )
+    has = (tn > eps)[:, None, None] & (dn > eps)[None, :, :]
+    return jnp.where(has, cfg.appearance_gain_px * (1.0 - cos), 0.0)
+
+
 def _spatial_time_similarity(
     ctx: TrackerContext, state: TrackerState, kps: Array, det_valid: Array,
     view_idx: Optional[np.ndarray] = None,
+    app: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """The spatial-time similarity matrix (ref:src/motion_capture.py:634-756).
 
@@ -270,6 +310,9 @@ def _spatial_time_similarity(
     `view_idx` (static) restricts the matrix to a camera subset — the
     hierarchical-cluster path, which never consumes cross-cluster entries
     and must not pay for their O(V^2 P^2 K) epipolar block.
+    `app` (V, P, D) detection appearance embeddings add the
+    `_appearance_penalty` term to the 2D-3D block (cfg.appearance_dim > 0);
+    the returned d23 stays purely geometric.
     Returns (sim (N, N), elem_valid (N,), d23 (T, V, P) raw track->detection
     reprojection distances — reused by the track-rescue pass).
     """
@@ -285,6 +328,8 @@ def _spatial_time_similarity(
         det_valid = det_valid[view_idx]
         F_det = ctx.F_det[np.ix_(view_idx, view_idx)]
         P_mats = ctx.cams.P[view_idx]
+        if app is not None:
+            app = app[view_idx]
     N = T + V * P
 
     # ---- 2D-2D epipolar block (V,P,V,P) ----
@@ -309,11 +354,18 @@ def _spatial_time_similarity(
     d23 = _track_det_distances(ctx, state, kps, det_valid, P_mats=P_mats)
     t_alive = state.active > 0
 
+    # appearance evidence perturbs the SIMILARITY distances only; d23 itself
+    # stays geometric (the rescue pass gates on physical pixels)
+    if cfg.appearance_dim > 0 and app is not None:
+        d23_sim = d23 + _appearance_penalty(cfg, state.app_ema, app)
+    else:
+        d23_sim = d23
+
     # ---- assemble (N, N) ----
     dst = jnp.full((N, N), jnp.nan, dtype=kps.dtype)
     dst = dst.at[T:, T:].set(d22.reshape(V * P, V * P))
-    dst = dst.at[:T, T:].set(d23.reshape(T, V * P))
-    dst = dst.at[T:, :T].set(d23.reshape(T, V * P).T)
+    dst = dst.at[:T, T:].set(d23_sim.reshape(T, V * P))
+    dst = dst.at[T:, :T].set(d23_sim.reshape(T, V * P).T)
 
     elem_valid = jnp.concatenate([t_alive, det_valid.reshape(-1)])
     valid2 = elem_valid[:, None] & elem_valid[None, :]
@@ -414,6 +466,7 @@ def _run_als(ctx: TrackerContext, sim: Array, pallas_ctx, diag_mask, init_A):
 def _clustered_association(
     ctx: TrackerContext, state: TrackerState,
     kps: Array, det_valid: Array, any_alive: Array,
+    app: Optional[Array] = None,
 ) -> Tuple["assoc.AlsResult", Array, Array]:
     """Hierarchical association for rigs beyond the fused kernel's N=384
     (VERDICT r2 next #5; the reference is nested Python loops with no size
@@ -480,12 +533,30 @@ def _clustered_association(
     subs = []
     for views_c in cluster_views:
         sim_st_c, _, _ = _spatial_time_similarity(ctx, state, kps, det_valid,
-                                                  view_idx=views_c)
+                                                  view_idx=views_c, app=app)
         sim_sp_c, _ = _spatial_similarity(ctx, kps, det_valid,
                                           view_idx=views_c)
         subs.append(jnp.where(any_alive, sim_st_c, sim_sp_c))
 
-    if ctx.cluster_pallas_ctx is not None:
+    if ctx.cluster_mesh is not None:
+        # clusters -> devices (parallel.sharded_solvers): each device solves
+        # its clusters' ALS locally (lax.map — the exact solo-solve
+        # program, so the binarized matches are bit-equal to the sequential
+        # path), zero collectives until the output gather
+        from multiview_motion_capture_tpu.parallel.sharded_solvers import (
+            sharded_cluster_als,
+        )
+
+        xb_all, iters_all = sharded_cluster_als(
+            jnp.stack(subs), ctx.cluster_diag_mask, ctx.cluster_init_A,
+            ctx.cluster_mesh, ctx.cluster_mesh_axis,
+            alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+            tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+            stable_iters=cfg.als_stable_iters,
+        )
+        xbs = [xb_all[c] for c in range(C)]
+        iters = iters_all.sum()
+    elif ctx.cluster_pallas_ctx is not None:
         # one batched kernel for all C cluster solves: each cluster freezes
         # at its own stop test (per-cluster results equal the sequential
         # kernels'), but the ridge-GJ latency chain — the kernel's measured
@@ -596,8 +667,17 @@ def make_step(ctx: TrackerContext):
     N = cfg.n_matrix
     skel = ctx.skel
 
+    use_app = cfg.appearance_dim > 0
+
     def step(state: TrackerState, frame) -> Tuple[TrackerState, FrameOutput]:
-        kps, det_valid = frame  # (V, P, K, 3), (V, P)
+        if use_app:
+            # appearance-enabled contexts take a third per-frame input:
+            # (V, P, appearance_dim) detection embeddings (unit vectors;
+            # zero rows = no embedding for that detection)
+            kps, det_valid, app = frame
+        else:
+            kps, det_valid = frame  # (V, P, K, 3), (V, P)
+            app = None
 
         # 1. predict (ref:349-350)
         tsu = state.time_since_update + (state.active > 0).astype(jnp.int32)
@@ -612,11 +692,11 @@ def make_step(ctx: TrackerContext):
         any_alive = jnp.any(state.active > 0)
         if cfg.assoc_clusters > 1:
             als, elem_valid, d23 = _clustered_association(
-                ctx, state, kps, det_valid, any_alive
+                ctx, state, kps, det_valid, any_alive, app=app
             )
         else:
             sim_st, ev_st, d23 = _spatial_time_similarity(ctx, state, kps,
-                                                          det_valid)
+                                                          det_valid, app=app)
             sim_sp, ev_sp = _spatial_similarity(ctx, kps, det_valid)
             sim = jnp.where(any_alive, sim_st, sim_sp)
             elem_valid = jnp.where(any_alive, ev_st, ev_sp)
@@ -834,6 +914,7 @@ def make_step(ctx: TrackerContext):
                     lam_down=cfg.ik_lm_damping_down,
                     stages=cfg.ik_warm_stages,
                     solver=cfg.ik_solver, interpret=ctx.als_interpret,
+                    ftol=cfg.ik_ftol, xtol=cfg.ik_xtol,
                 )
 
             def run_cold(_):
@@ -857,7 +938,9 @@ def make_step(ctx: TrackerContext):
                     n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
                     lam_down=cfg.ik_lm_damping_down,
+                    stages=cfg.ik_cold_stages,
                     solver=cfg.ik_solver, interpret=ctx.als_interpret,
+                    ftol=cfg.ik_ftol, xtol=cfg.ik_xtol,
                 )
 
             def skip(_):
@@ -922,6 +1005,37 @@ def make_step(ctx: TrackerContext):
         else:
             new_vel = state.root_vel
 
+        # 7c. appearance EMA (cfg.appearance_dim): mean embedding of this
+        # frame's matched detections folded into each track's EMA; spawns
+        # initialize from their own detections.  Unit-normalized so the
+        # similarity term stays a cosine.
+        if use_app:
+            m_match = jnp.where(spawned[:, None], s_match, t_match)  # (T, V)
+            m_exists = jnp.where(spawned[:, None], s_exists, t_exists)
+            safe = jnp.maximum(m_match, 0)
+            app_det = jnp.take_along_axis(
+                app[None], safe[:, :, None, None], axis=2
+            )[:, :, 0]                                         # (T, V, D)
+            wv = (m_exists
+                  & (jnp.linalg.norm(app_det, axis=-1) > 1e-6)).astype(
+                      app_det.dtype)                           # (T, V)
+            mean_app = (app_det * wv[:, :, None]).sum(axis=1) / jnp.maximum(
+                wv.sum(axis=1), 1.0)[:, None]                  # (T, D)
+            has_obs_app = wv.sum(axis=1) > 0
+            b_a = cfg.appearance_beta
+            blended = jnp.where(
+                (jnp.linalg.norm(state.app_ema, axis=-1) > 1e-6)[:, None],
+                b_a * mean_app + (1.0 - b_a) * state.app_ema, mean_app)
+            cand_app = jnp.where(spawned[:, None], mean_app, blended)
+            cand_app = cand_app / jnp.maximum(
+                jnp.linalg.norm(cand_app, axis=-1, keepdims=True), 1e-6)
+            touched_app = (update_mask | spawned) & has_obs_app
+            new_app = jnp.where(touched_app[:, None], cand_app,
+                                jnp.where(spawned[:, None], 0.0,
+                                          state.app_ema))
+        else:
+            new_app = state.app_ema
+
         # 8. lifecycle bookkeeping
         touched = update_mask | spawned
         new_hits = jnp.where(spawned, 1, jnp.where(update_mask, state.hits + 1, state.hits))
@@ -947,6 +1061,7 @@ def make_step(ctx: TrackerContext):
             pose3d=new_pose3d,
             pose3d_score=new_score,
             root_vel=new_vel,
+            app_ema=new_app,
             next_track_id=next_tid,
         )
         out = FrameOutput(
@@ -1001,14 +1116,23 @@ class MvTracker:
         self.outputs: List[FrameOutput] = []
         self.frame_idxs: List[int] = []
 
-    def update(self, frame_idx: int, kps: np.ndarray, valid: np.ndarray) -> FrameOutput:
-        self.state, out = self._step(self.state, (jnp.asarray(kps), jnp.asarray(valid)))
+    def update(self, frame_idx: int, kps: np.ndarray, valid: np.ndarray,
+               app: Optional[np.ndarray] = None) -> FrameOutput:
+        if self.cfg.appearance_dim > 0:
+            if app is None:
+                raise ValueError("cfg.appearance_dim > 0: update needs "
+                                 "app=(V, P, D) detection embeddings")
+            frame = (jnp.asarray(kps), jnp.asarray(valid), jnp.asarray(app))
+        else:
+            frame = (jnp.asarray(kps), jnp.asarray(valid))
+        self.state, out = self._step(self.state, frame)
         self.outputs.append(jax.device_get(out))
         self.frame_idxs.append(frame_idx)
         return self.outputs[-1]
 
     def update_batch(self, frame_idxs, kps: np.ndarray, valid: np.ndarray,
-                     pad_to: Optional[int] = None) -> List[FrameOutput]:
+                     pad_to: Optional[int] = None,
+                     app: Optional[np.ndarray] = None) -> List[FrameOutput]:
         """Micro-batched streaming update: process k frames in ONE device
         dispatch (a k-length `lax.scan` of the step).
 
@@ -1031,6 +1155,10 @@ class MvTracker:
         """
         k = len(frame_idxs)
         assert kps.shape[0] == k and valid.shape[0] == k
+        use_app = self.cfg.appearance_dim > 0
+        if use_app and app is None:
+            raise ValueError("cfg.appearance_dim > 0: update_batch needs "
+                             "app=(k, V, P, D) detection embeddings")
         if pad_to is not None and k < pad_to:
             pad = pad_to - k
             kps = np.concatenate(
@@ -1039,15 +1167,23 @@ class MvTracker:
             valid = np.concatenate(
                 [np.asarray(valid), np.zeros((pad,) + valid.shape[1:], bool)]
             )
+            if use_app:
+                app = np.concatenate(
+                    [np.asarray(app),
+                     np.zeros((pad,) + app.shape[1:], app.dtype)]
+                )
             real = np.concatenate([np.ones(k, bool), np.zeros(pad, bool)])
         elif pad_to is not None and k > pad_to:
             raise ValueError(f"chunk of {k} frames exceeds pad_to={pad_to}")
         else:
             real = np.ones(k, bool)
         fn = _cached_scan(("chunk", id(self.ctx)), self.ctx, self._build_chunk_scan)
-        self.state, outs = fn(
-            self.state, (jnp.asarray(kps), jnp.asarray(valid), jnp.asarray(real))
-        )
+        if use_app:
+            frames = (jnp.asarray(kps), jnp.asarray(valid), jnp.asarray(app),
+                      jnp.asarray(real))
+        else:
+            frames = (jnp.asarray(kps), jnp.asarray(valid), jnp.asarray(real))
+        self.state, outs = fn(self.state, frames)
         outs = jax.device_get(outs)
         per_frame = [
             FrameOutput(*[np.asarray(getattr(outs, f))[i] for f in FrameOutput._fields])
@@ -1060,14 +1196,20 @@ class MvTracker:
     def _build_chunk_scan(self):
         step = make_step(self.ctx)
         n_views = self.ctx.cfg.n_views
+        use_app = self.ctx.cfg.appearance_dim > 0
 
         def masked_step(state, frame):
-            kps, valid, real = frame
+            if use_app:
+                kps, valid, app, real = frame
+                inner = (kps, valid, app)
+            else:
+                kps, valid, real = frame
+                inner = (kps, valid)
             # inert pad frames: the state passes through unchanged (a real
             # empty frame would age and kill live tracks)
             return jax.lax.cond(
                 real,
-                lambda s: step(s, (kps, valid)),
+                lambda s: step(s, inner),
                 lambda s: (s, _dummy_output(s, n_views)),
                 state,
             )
@@ -1132,10 +1274,19 @@ def _scan_fn(ctx: TrackerContext):
     def build():
         step = make_step(ctx)
 
-        @jax.jit
-        def scan_all(kps, valid):
-            state0 = TrackerState.zeros(ctx.cfg)
-            return jax.lax.scan(step, state0, (kps, valid))
+        if ctx.cfg.appearance_dim > 0:
+
+            @jax.jit
+            def scan_all(kps, valid, app):
+                state0 = TrackerState.zeros(ctx.cfg)
+                return jax.lax.scan(step, state0, (kps, valid, app))
+
+        else:
+
+            @jax.jit
+            def scan_all(kps, valid):
+                state0 = TrackerState.zeros(ctx.cfg)
+                return jax.lax.scan(step, state0, (kps, valid))
 
         return scan_all
 
@@ -1143,11 +1294,22 @@ def _scan_fn(ctx: TrackerContext):
 
 
 def run_offline(
-    ctx: TrackerContext, kps: Array, valid: Array, frame_idxs: Optional[np.ndarray] = None
+    ctx: TrackerContext, kps: Array, valid: Array,
+    frame_idxs: Optional[np.ndarray] = None,
+    app: Optional[Array] = None,
 ) -> Tuple[TrackerState, FrameOutput]:
     """Whole-sequence tracking as ONE device call: `lax.scan` of the step
     over all frames (the TPU-native replacement for the reference's Python
-    while-loop, ref:src/motion_capture.py:1062-1116)."""
+    while-loop, ref:src/motion_capture.py:1062-1116).
+
+    `app` (F, V, P, appearance_dim) per-detection appearance embeddings —
+    required iff the context's config has appearance_dim > 0."""
+    if ctx.cfg.appearance_dim > 0:
+        if app is None:
+            raise ValueError(
+                "cfg.appearance_dim > 0: run_offline needs per-detection "
+                "appearance embeddings (app=(F, V, P, D))")
+        return _scan_fn(ctx)(kps, valid, jnp.asarray(app))
     return _scan_fn(ctx)(kps, valid)
 
 

@@ -23,14 +23,20 @@ import numpy as np
 
 
 def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
-                 min_track_length=2):
+                 min_track_length=2, person_scale_std=0.0,
+                 bone_jitter_std=0.0, compare_bone_gate=False,
+                 appearance_dim=0, appearance_noise=0.25,
+                 appearance_gain_px=30.0):
     import jax.numpy as jnp
 
     from multiview_motion_capture_tpu.config import PipelineConfig
-    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.data.synthetic import (
+        synthetic_appearance,
+        synthetic_sequence,
+    )
     from multiview_motion_capture_tpu.eval import identity_metrics
     from multiview_motion_capture_tpu.pipeline import filter_ghost_tracklets
-    from multiview_motion_capture_tpu.reid import merge_tracklets
+    from multiview_motion_capture_tpu.reid import ReidConfig, merge_tracklets
     from multiview_motion_capture_tpu.tracker import (
         TrackerContext,
         assemble_tracklets,
@@ -44,13 +50,21 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
         # rescue adoption in crowds swaps identities mid-fragment, re-ID
         # IDF1 0.707 -> 0.546 on 10x10 (docs/PERF.md r3 rescue/motion grid)
         track_rescue_px=0.0,
+        appearance_dim=appearance_dim,
+        appearance_gain_px=appearance_gain_px,
     )
     seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
                              n_views=n_views, cfg=cfg, seed=0,
-                             noise_px=1.0, drop_prob=drop_prob)
+                             noise_px=1.0, drop_prob=drop_prob,
+                             person_scale_std=person_scale_std,
+                             bone_jitter_std=bone_jitter_std)
+    app = None
+    if appearance_dim > 0:
+        app = jnp.asarray(synthetic_appearance(seq, dim=appearance_dim,
+                                               noise=appearance_noise))
     ctx = TrackerContext.build(seq.cameras, cfg, use_ik=use_ik)
     _, out = run_offline(ctx, jnp.asarray(seq.batch.kps),
-                         jnp.asarray(seq.batch.valid))
+                         jnp.asarray(seq.batch.valid), app=app)
     tlets = assemble_tracklets(jax.device_get(out))
 
     def score(ts):
@@ -68,7 +82,17 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
     after = score(merged)
     cleaned = filter_ghost_tracklets(merged, min_track_length)
     final = score(cleaned)
-    return {"raw": raw, "reid": after, "reid+ghost_filter": final}
+    res = {"raw": raw, "reid": after, "reid+ghost_filter": final}
+    if compare_bone_gate:
+        # trajectory-only lower bound: bone statistics never fit, so the
+        # bone gate and its strong-evidence widening both disappear —
+        # exactly what the re-ID degrades to on a shared-skeleton synthetic
+        no_bone = ReidConfig(min_frames_for_prior=10**9)
+        merged_nb = merge_tracklets(tlets, no_bone)
+        res["reid_trajectory_only"] = score(merged_nb)
+        res["reid_trajectory_only+ghost_filter"] = score(
+            filter_ghost_tracklets(merged_nb, min_track_length))
+    return res
 
 
 def main():
@@ -76,6 +100,25 @@ def main():
         "10cam_x_10ppl_f200": study_config(10, 10, 200),
         "20cam_x_10ppl_f100": study_config(20, 10, 100),
         "32cam_x_10ppl_f60": study_config(32, 10, 60),
+        # anthropometric variation ON (heights ~N(1, 0.06^2), bone groups
+        # ~N(1, 0.04^2)): the bone-length discriminator finally has signal;
+        # compare reid vs reid_trajectory_only (VERDICT r3 next #3).
+        # drop_prob 0.15: at the default 0.05, varied skeletons make the
+        # crowd EASY (distinct heights disambiguate crossings, raw IDF1
+        # 0.483 -> 0.815) and the handful of needed merges are all
+        # trajectory-resolvable; heavier occlusion restores a fragment
+        # population (73 raw) where the gates actually compete
+        "10cam_x_10ppl_f200_varied": study_config(
+            10, 10, 200, drop_prob=0.15, person_scale_std=0.06,
+            bone_jitter_std=0.04, compare_bone_gate=True),
+        "10cam_x_10ppl_f200_shared_gate_ablation": study_config(
+            10, 10, 200, compare_bone_gate=True),
+        # appearance evidence ON (idealized unit-identity embeddings +
+        # noise 0.25, tracker appearance term at the default gain): the
+        # crossing-instant in-fragment switches geometry cannot resolve
+        # (VERDICT r3 next #2)
+        "10cam_x_10ppl_f200_appearance": study_config(
+            10, 10, 200, appearance_dim=16),
     }
     print(json.dumps({
         "metric": "identity_study",

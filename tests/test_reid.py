@@ -117,3 +117,73 @@ def test_trajectory_extrapolation_bridges_moving_person():
     assert gap_travel > 0.6  # endpoint distance alone would be gated out
     merged = merge_tracklets([a, b])
     assert len(merged) == 1
+
+
+def test_bone_evidence_beats_trajectory_only():
+    """The bone-length discriminator resolving what trajectory cannot
+    (VERDICT r3 next #3): a fragment end with TWO spawn candidates — the
+    true continuation (same skeleton, a bit farther from the extrapolated
+    position) and an imposter (different skeleton, closer).  Trajectory
+    alone picks the imposter; the bone evidence flips the assignment."""
+    A = _make_fragment(0, range(0, 30), _walk([0, 0, 1.0], [0.01, 0, 0]),
+                       seed=1)
+    end = np.asarray([0.29, 0, 1.0])  # A's extrapolated root at frame 40
+    true_cont = _make_fragment(1, range(40, 70),
+                               _walk(end + [0.0, 0.25, 0], [0.01, 0, 0]),
+                               side_scale=1.0, seed=2)
+    imposter = _make_fragment(2, range(40, 70),
+                              _walk(end + [0.0, 0.10, 0], [0.01, 0, 0]),
+                              side_scale=1.15, seed=3)
+
+    from multiview_motion_capture_tpu.reid import match_fragments
+
+    tlets = [A, true_cont, imposter]
+    pairs = match_fragments(tlets)  # default: bone evidence active
+    assert (0, 1) in pairs, pairs
+
+    traj_only = ReidConfig(min_frames_for_prior=10**9)
+    pairs_nb = match_fragments(tlets, traj_only)
+    assert (0, 2) in pairs_nb, pairs_nb  # trajectory alone is fooled
+
+
+def test_varied_skeletons_carry_bone_signal_end_to_end():
+    """Anthropometric variation in the generator flows through detection
+    noise, association, triangulation and the LM solve into per-track bone
+    lengths that rank people by their ground-truth scale."""
+    import jax.numpy as jnp
+
+    from multiview_motion_capture_tpu.config import PipelineConfig
+    from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.tracker import (
+        TrackerContext, assemble_tracklets, run_offline,
+    )
+
+    cfg = PipelineConfig(n_views=5, max_people=4, max_tracks=6,
+                         als_max_iter=100, ik_warm_stages=1, ik_solver="gj",
+                         max_frames=None)
+    seq = synthetic_sequence(n_frames=25, n_people=3, n_views=5, cfg=cfg,
+                             seed=0, drop_prob=0.0, noise_px=1.0,
+                             person_scale_std=0.1, bone_jitter_std=0.04)
+    scales = seq.gt_person_scale
+    assert np.ptp(scales) > 0.08, scales  # the draw actually spreads
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=True)
+    _, out = run_offline(ctx, jnp.asarray(seq.batch.kps),
+                         jnp.asarray(seq.batch.valid))
+    tlets = [t for t in assemble_tracklets(jax.device_get(out))
+             if len(t) >= 10]
+    assert len(tlets) == 3
+
+    # match each tracklet to its GT person by root-trajectory distance
+    def person_of(t):
+        roots = np.asarray(t.roots)  # (L, 3)
+        gt_roots = 0.5 * (seq.gt_3d[t.frame_idxs, :, 11]
+                          + seq.gt_3d[t.frame_idxs, :, 12])  # (L, N, 3)
+        d = np.linalg.norm(gt_roots - roots[:, None], axis=-1).mean(axis=0)
+        return int(np.argmin(d))
+
+    solved = {person_of(t): float(np.asarray(t.side_lens).sum(axis=1).mean())
+              for t in tlets}
+    assert len(solved) == 3  # one tracklet per person
+    order_solved = sorted(solved, key=solved.get)
+    order_gt = list(np.argsort(scales))
+    assert order_solved == order_gt, (solved, scales)

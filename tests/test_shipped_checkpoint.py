@@ -89,3 +89,45 @@ def test_e2e_detect_track_mpjpe(detector):
     assert len(long) == 2, [len(t) for t in res.tracklets]
     mpjpe = mpjpe_vs_ground_truth(long, seq.gt_3d)
     assert mpjpe <= 0.03, mpjpe
+
+
+def test_style_heldout_detection_quality(detector):
+    """Held-out render STYLES, not just seeds (VERDICT r3 next #5): the
+    shipped checkpoint must hold its recall on render configurations
+    outside the training distribution.  Gates set from
+    scripts/detector_style_holdout.py (docs/PERF.md r4): every style
+    >= 0.92 recall @ 12 px; the weakest (dark + noisy: heavy sensor noise
+    spawns spurious center peaks) bottoms at 0.77 precision, all others
+    >= 0.93."""
+    import jax.numpy as jnp
+
+    from multiview_motion_capture_tpu.data.detect_train import (
+        evaluate_detections,
+        generate_samples,
+    )
+    from multiview_motion_capture_tpu.data.render import RenderConfig
+
+    mcfg, params, detect = detector
+    styles = {
+        "dark_noisy": RenderConfig(hw=(192, 256),
+                                   brightness_range=(0.45, 0.65),
+                                   noise_std=0.06),
+        "cluttered": RenderConfig(hw=(192, 256), bg_blobs=12,
+                                  distractor_segments=10),
+        "heavy_palette_jitter": RenderConfig(hw=(192, 256),
+                                             appearance_jitter=0.7),
+    }
+    for name, rcfg in styles.items():
+        ss = generate_samples([3000, 3001], rcfg, n_frames=4, n_views=4,
+                              n_people_range=(2, 4))
+        kps_all, val_all = [], []
+        for s in range(0, ss.images.shape[0], 16):
+            kps, _, valid = detect(params, jnp.asarray(ss.images[s:s + 16]))
+            kps_all.append(np.asarray(kps))
+            val_all.append(np.asarray(valid))
+        q = evaluate_detections(
+            np.concatenate(kps_all), np.concatenate(val_all),
+            np.nan_to_num(ss.kps_px[..., :2]), ss.present, match_px=12.0)
+        assert q["recall"] >= 0.9, (name, q)
+        assert q["precision"] >= 0.7, (name, q)
+        assert q["mean_err_px"] <= 3.0, (name, q)
