@@ -46,22 +46,28 @@ from multiview_motion_capture_tpu.tracker import (
 )
 
 
-def replay_states(ctx: TrackerContext, kps, valid):
+def replay_states(ctx: TrackerContext, kps, valid, app=None):
     """Scan the sequence emitting each frame's PRE-step state alongside the
-    outputs (the debug/replay entry point shared with the study scripts)."""
+    outputs (the debug/replay entry point shared with the study scripts).
+    `app` (F, V, P, D) is required for appearance-enabled contexts."""
+    if ctx.cfg.appearance_dim > 0 and app is None:
+        raise ValueError("cfg.appearance_dim > 0: replay_states needs "
+                         "app=(F, V, P, D) detection embeddings")
     step = make_step(ctx)
 
     @jax.jit
-    def scan_with_states(kps, valid):
+    def scan_with_states(*frames):
         def body(s, fr):
             s2, out = step(s, fr)
             return s2, (s, out)
 
         s0 = TrackerState.zeros(ctx.cfg)
-        return jax.lax.scan(body, s0, (kps, valid))
+        return jax.lax.scan(body, s0, frames)
 
-    _, (pre_states, outs) = scan_with_states(jnp.asarray(kps),
-                                             jnp.asarray(valid))
+    args = (jnp.asarray(kps), jnp.asarray(valid))
+    if app is not None:
+        args = args + (jnp.asarray(app),)
+    _, (pre_states, outs) = scan_with_states(*args)
     return jax.device_get(pre_states), jax.device_get(outs)
 
 
@@ -83,12 +89,14 @@ def _als_xla(ctx: TrackerContext, sim, diag_mask, init_A):
     )
 
 
-def frame_debug(ctx: TrackerContext, state: TrackerState, kps, valid) -> dict:
+def frame_debug(ctx: TrackerContext, state: TrackerState, kps, valid,
+                app=None) -> dict:
     """Re-run ONE frame's association with full diagnostics.
 
     `state` is the PRE-step state (before the time_since_update predict);
-    returns a dict of numpy arrays / nested summaries, one entry per
-    cluster on hierarchical rigs.
+    `app` (V, P, D) is this frame's detection embeddings (appearance
+    contexts); returns a dict of numpy arrays / nested summaries, one
+    entry per cluster on hierarchical rigs.
     """
     cfg = ctx.cfg
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
@@ -106,7 +114,7 @@ def frame_debug(ctx: TrackerContext, state: TrackerState, kps, valid) -> dict:
         for c in range(C):
             views_c = np.nonzero(cluster_of_view == c)[0]
             sim_st, _, d23c = _spatial_time_similarity(
-                ctx, state, kps, valid, view_idx=views_c)
+                ctx, state, kps, valid, view_idx=views_c, app=app)
             sim_sp, _ = _spatial_similarity(ctx, kps, valid, view_idx=views_c)
             sim = sim_st if any_alive else sim_sp
             als = _als_xla(ctx, sim, ctx.cluster_diag_mask, ctx.cluster_init_A)
@@ -118,11 +126,12 @@ def frame_debug(ctx: TrackerContext, state: TrackerState, kps, valid) -> dict:
         # the global picture: distances + validity (the step's own assembly)
         from multiview_motion_capture_tpu.tracker import _clustered_association
         als_g, elem_valid, d23 = _clustered_association(
-            ctx, state, kps, valid, jnp.asarray(any_alive))
+            ctx, state, kps, valid, jnp.asarray(any_alive), app=app)
         x_bin, x_soft = np.asarray(als_g.x_bin), None
         n_iters = int(als_g.n_iters)
     else:
-        sim_st, ev_st, d23 = _spatial_time_similarity(ctx, state, kps, valid)
+        sim_st, ev_st, d23 = _spatial_time_similarity(ctx, state, kps, valid,
+                                                      app=app)
         sim_sp, ev_sp = _spatial_similarity(ctx, kps, valid)
         sim = sim_st if any_alive else sim_sp
         elem_valid = ev_st if any_alive else ev_sp
@@ -211,6 +220,7 @@ def dump_association_debug(
     frames: Optional[Sequence[int]] = None,
     images: Optional[np.ndarray] = None,
     max_auto_frames: int = 20,
+    app: Optional[np.ndarray] = None,
 ) -> List[Path]:
     """Dump per-frame association diagnostics for a sequence.
 
@@ -224,7 +234,7 @@ def dump_association_debug(
     cfg = ctx.cfg
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
 
-    pre_states, outs = replay_states(ctx, kps, valid)
+    pre_states, outs = replay_states(ctx, kps, valid, app=app)
     died = np.asarray(outs.died_track_id)  # (F, T)
     if frames is None:
         frames = [f for f in range(died.shape[0]) if (died[f] >= 0).any()]
@@ -233,7 +243,8 @@ def dump_association_debug(
     written = []
     for f in frames:
         state = _state_at(pre_states, f)
-        dbg = frame_debug(ctx, state, kps[f], valid[f])
+        dbg = frame_debug(ctx, state, kps[f], valid[f],
+                          app=None if app is None else app[f])
         base = out_dir / f"frame_{f:05d}"
         npz_path = base.with_suffix(".npz")
         arrays = {
