@@ -26,7 +26,7 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
                  min_track_length=2, person_scale_std=0.0,
                  bone_jitter_std=0.0, compare_bone_gate=False,
                  appearance_dim=0, appearance_noise=0.25,
-                 appearance_gain_px=30.0):
+                 appearance_gain_px=None):
     import jax.numpy as jnp
 
     from multiview_motion_capture_tpu.config import PipelineConfig
@@ -51,7 +51,8 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
         # IDF1 0.707 -> 0.546 on 10x10 (docs/PERF.md r3 rescue/motion grid)
         track_rescue_px=0.0,
         appearance_dim=appearance_dim,
-        appearance_gain_px=appearance_gain_px,
+        **({} if appearance_gain_px is None
+           else {"appearance_gain_px": appearance_gain_px}),
     )
     seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
                              n_views=n_views, cfg=cfg, seed=0,
