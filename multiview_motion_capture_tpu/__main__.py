@@ -263,7 +263,11 @@ def main(argv=None) -> int:
                                                collect_appearance=True)
             import dataclasses as _dc
 
-            cfg = _dc.replace(cfg, appearance_dim=app.shape[-1])
+            # gain calibrated to the color-layout extractor's cosine
+            # structure (cos_same 0.97 / cos_diff 0.83 -> ~8px
+            # discrimination at 60; config.appearance_gain_px provenance)
+            cfg = _dc.replace(cfg, appearance_dim=app.shape[-1],
+                              appearance_gain_px=60.0)
         else:
             batch = frames_to_frame_batch(detect, params, images, cfg)
         detect_s = time.perf_counter() - t0

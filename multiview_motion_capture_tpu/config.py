@@ -113,11 +113,16 @@ class PipelineConfig:
     # r3 crowd study); the rescue pass and reprojection metrics keep using
     # the raw geometric distances.  0 = reference semantics (geometry only).
     appearance_dim: int = 0
-    appearance_gain_px: float = 20.0   # px per unit cosine distance; swept
-                                       # 8..80 on the 10x10 crowd — 20 is
-                                       # the best re-ID IDF1/IDsw point
-                                       # (0.775/87 vs geometry-only
-                                       # 0.707/110, docs/PERF.md r4)
+    # px of similarity distance per unit cosine distance, applied to BOTH
+    # the 2D-3D (track->detection) and 2D-2D (cross-view grouping) blocks.
+    # CALIBRATE TO THE EMBEDDING SOURCE: discrimination needs roughly
+    # gain * (cos_same - cos_diff) ~ 8 px while gain * (1 - cos_same)
+    # stays small.  Oracle-grade embeddings (cross-person cos ~0): 20 ->
+    # 10x10 crowd IDsw 131 -> 3, IDF1 0.997.  Extractor-grade (the
+    # keypoint-color-layout descriptor: cos_same 0.97 / cos_diff 0.83):
+    # ~60 -> emulated crowd IDF1 0.996; 20 is too weak there and 140
+    # over-penalizes true matches (docs/PERF.md r4 sweeps).
+    appearance_gain_px: float = 20.0
     appearance_beta: float = 0.5       # per-update EMA factor
 
     # ---- crowd-density preset safety (new; no reference analogue) ----------

@@ -225,6 +225,7 @@ def synthetic_appearance(
     dim: int = 16,
     noise: float = 0.25,
     seed: int = 0,
+    shared_frac: float = 0.0,
 ) -> np.ndarray:
     """Idealized per-detection appearance embeddings for association studies.
 
@@ -236,6 +237,13 @@ def synthetic_appearance(
     data.detect).  `noise` controls quality: 0.25 keeps same-person cosine
     similarity ~0.97, cross-person ~0 in expectation.
 
+    `shared_frac` mixes a COMMON component into every identity
+    (emulating real extractors whose embeddings share domain structure —
+    the keypoint-color-layout descriptor measures cross-person cos ~0.83,
+    docs/PERF.md r4; shared_frac~0.83 reproduces that): identity_p =
+    unit(sqrt(f) * shared + sqrt(1-f) * unique_p).  0 = fully distinct
+    identities (cross-person cos ~0).
+
     Returns (F, V, P, dim) float32, zero rows for empty slots.
     """
     rng = np.random.RandomState(seed + 104729)
@@ -243,6 +251,12 @@ def synthetic_appearance(
     n_people = seq.gt_3d.shape[1]
     ident = rng.randn(n_people, dim)
     ident /= np.linalg.norm(ident, axis=1, keepdims=True)
+    if shared_frac > 0:
+        shared = rng.randn(dim)
+        shared /= np.linalg.norm(shared)
+        ident = (np.sqrt(shared_frac) * shared[None]
+                 + np.sqrt(1.0 - shared_frac) * ident)
+        ident /= np.linalg.norm(ident, axis=1, keepdims=True)
     app = np.zeros((F, V, P, dim), dtype=np.float32)
     person = seq.gt_slot_person  # (F, V, P)
     ok = person >= 0

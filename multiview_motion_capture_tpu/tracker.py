@@ -299,6 +299,22 @@ def _appearance_penalty(cfg: PipelineConfig, app_ema: Array, app: Array) -> Arra
     return jnp.where(has, cfg.appearance_gain_px * (1.0 - cos), 0.0)
 
 
+def _appearance_penalty_d22(cfg: PipelineConfig, app: Array) -> Array:
+    """Appearance term of the 2D-2D (cross-view detection grouping) block:
+    same px-per-cosine-distance scale between detection pairs (epipolar
+    geometry cannot separate two people near one epipolar plane; clothing
+    can).  app: (V, P, D).  Returns (V, P, V, P), zero where either side
+    has no embedding."""
+    eps = 1e-6
+    dn = jnp.linalg.norm(app, axis=-1)                    # (V, P)
+    cos = jnp.einsum("vpd,wqd->vpwq", app, app) / (
+        jnp.maximum(dn, eps)[:, :, None, None]
+        * jnp.maximum(dn, eps)[None, None, :, :]
+    )
+    has = (dn > eps)[:, :, None, None] & (dn > eps)[None, None, :, :]
+    return jnp.where(has, cfg.appearance_gain_px * (1.0 - cos), 0.0)
+
+
 def _spatial_time_similarity(
     ctx: TrackerContext, state: TrackerState, kps: Array, det_valid: Array,
     view_idx: Optional[np.ndarray] = None,
@@ -346,6 +362,8 @@ def _spatial_time_similarity(
         kb = kps[None, None, :, :, :, :]                   # (1,1,V,P,K,3)
         Fab = F_det[:, None, :, None, :, :]                # (V,1,V,1,3,3)
         d22 = geom.masked_symmetric_epipolar_error(ka, kb, Fab, cfg.epipolar_min_kps_score)
+    if cfg.appearance_dim > 0 and app is not None:
+        d22 = d22 + _appearance_penalty_d22(cfg, app)
     same_view = jnp.eye(V, dtype=bool)[:, None, :, None]
     pair_valid = det_valid[:, :, None, None] & det_valid[None, None, :, :]
     d22 = jnp.where(same_view | ~pair_valid, jnp.nan, d22)
