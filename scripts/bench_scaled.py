@@ -35,12 +35,12 @@ from multiview_motion_capture_tpu.tracker import (
 
 
 def bench_config(n_views, n_people, n_frames=200, als_backend="auto",
-                 clusters=1, ik_max_views=None):
+                 clusters=1, ik_max_views=None, **cfg_kw):
     cfg = PipelineConfig(
         n_views=n_views, max_people=n_people, max_tracks=16,
         max_frames=None, als_max_iter=100, ik_warm_stages=1, ik_solver="gj",
         als_backend=als_backend, assoc_clusters=clusters,
-        ik_max_views=ik_max_views,
+        ik_max_views=ik_max_views, **cfg_kw,
     )
     seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
                              n_views=n_views, cfg=cfg, seed=0,
@@ -87,6 +87,19 @@ def main():
         "64cam_x_10ppl_2clusters": bench_config(64, 10, n_frames=60,
                                                 clusters=2, ik_max_views=16),
     }
+    if "--ik-levers" in sys.argv:
+        # r4 wide-rig IK levers (VERDICT r3 next #1): merged cold schedule
+        # (quality-neutral-or-better on Shelf, docs/PERF.md) and looser LM
+        # exits (a Shelf quality hazard; candidate for wide rigs only)
+        results["64cam_coldstages1"] = bench_config(
+            64, 10, n_frames=60, clusters=2, ik_max_views=16,
+            ik_cold_stages=1)
+        results["64cam_coldstages1_loose"] = bench_config(
+            64, 10, n_frames=60, clusters=2, ik_max_views=16,
+            ik_cold_stages=1, ik_ftol=1e-4, ik_xtol=1e-4)
+        results["64cam_warmiters3"] = bench_config(
+            64, 10, n_frames=60, clusters=2, ik_max_views=16,
+            ik_cold_stages=1, ik_warm_iters=3)
     print(json.dumps({
         "metric": "scaled_rig_fps",
         "value": results["10cam_x_10ppl"]["full_ik"]["fps"],
