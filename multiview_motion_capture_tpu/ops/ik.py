@@ -370,12 +370,18 @@ def _lm_solve_batched(
     interpret: bool = False,
     ftol: float = 2e-6,
     xtol: float = 1e-6,
+    return_iters: bool = False,
 ) -> Array:
     """Batched LM over all T slots at once, solving every slot's damped
     normal equations in ONE fused Pallas Gauss-Jordan kernel
     (ops/solve_pallas.py) instead of T vmapped Cholesky factorizations.
     Per-slot convergence freezes that slot; the loop runs while any slot is
-    active (same semantics as the vmapped per-slot while)."""
+    active (same semantics as the vmapped per-slot while).
+
+    `return_iters=True` additionally returns the iteration count the
+    batched while executed (= the slowest active slot's count — what the
+    device actually pays; the convergence-stats instrumentation of
+    scripts/ik_iteration_study.py)."""
     from multiview_motion_capture_tpu.ops.solve_pallas import batched_spd_solve
     T, n = x0.shape
     eye = jnp.eye(n, dtype=x0.dtype)
@@ -427,6 +433,8 @@ def _lm_solve_batched(
               jnp.full((T,), lam0, x0.dtype), has_obs,
               jnp.asarray(0, jnp.int32))
     x, r, lam, active, it = jax.lax.while_loop(cond, body, state0)
+    if return_iters:
+        return x, it
     return x
 
 
