@@ -70,7 +70,13 @@ def _density_guard(cfg: PipelineConfig, host_out) -> float:
     if active.size == 0:
         return 0.0
     mean_conc = float((active == 2).sum(axis=1).mean())
+    # appearance-enabled runs are exempt: the rescue pass is then
+    # appearance-gated (wrong-person detections are pushed beyond the
+    # rescue gate), measured to neutralize the crowd hazard entirely
+    # (rescue on == rescue off at re-ID IDF1 0.996 on the 8-person crowd,
+    # docs/PERF.md r4)
     if (cfg.track_rescue_px > 0 and cfg.density_warn_tracks > 0
+            and cfg.appearance_dim == 0
             and mean_conc >= cfg.density_warn_tracks):
         import warnings
 

@@ -775,7 +775,17 @@ def make_step(ctx: TrackerContext):
                          else cfg.track_rescue_single_px)
             gate_det = jnp.where(group_size[T:] >= 2,
                                  cfg.track_rescue_px, single_px)
-            d23f = d23.reshape(T, V * P)
+            if use_app and app is not None:
+                # appearance-consistent rescue: a dying track must not
+                # adopt another person's detections just because they are
+                # geometrically close (the crowd identity hazard) — the
+                # same px-per-cosine penalty pushes wrong-person
+                # detections beyond the rescue gate
+                d23_rescue = d23 + _appearance_penalty(cfg, state.app_ema,
+                                                       app)
+            else:
+                d23_rescue = d23
+            d23f = d23_rescue.reshape(T, V * P)
             dflat = jnp.where(
                 adoptable[None, :] & jnp.isfinite(d23f)
                 & (d23f < gate_det[None, :]),
