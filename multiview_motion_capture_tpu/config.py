@@ -172,8 +172,10 @@ class PipelineConfig:
     # with the bench quality gate).
     ik_ftol: float = 2e-6
     ik_xtol: float = 1e-6
-    # LM linear solver: "chol" (batched Cholesky via vmap) or "gj" (fused
-    # Pallas Gauss-Jordan over all slots in one kernel)
+    # LM linear solver: "chol" (batched Cholesky via vmap), "gj" (fused
+    # Pallas Gauss-Jordan over all slots in one kernel), or "gj_fused"
+    # (additionally fuses the JtJ/g normal-equation assembly into the same
+    # kernel — one J read per LM iteration; the r4 wide-rig lever)
     ik_solver: str = "chol"
     # Wide rigs: solve each track's IK against only its `ik_max_views`
     # highest-score matched views (per-track static gather; LM residual work

@@ -371,6 +371,7 @@ def _lm_solve_batched(
     ftol: float = 2e-6,
     xtol: float = 1e-6,
     return_iters: bool = False,
+    fused: bool = False,
 ) -> Array:
     """Batched LM over all T slots at once, solving every slot's damped
     normal equations in ONE fused Pallas Gauss-Jordan kernel
@@ -381,8 +382,16 @@ def _lm_solve_batched(
     `return_iters=True` additionally returns the iteration count the
     batched while executed (= the slowest active slot's count — what the
     device actually pays; the convergence-stats instrumentation of
-    scripts/ik_iteration_study.py)."""
-    from multiview_motion_capture_tpu.ops.solve_pallas import batched_spd_solve
+    scripts/ik_iteration_study.py).
+
+    `fused=True` routes each iteration's normal-equation ASSEMBLY + solve
+    through the one-program `fused_normal_solve` kernel (JtJ/g/ridge/GJ
+    with J read once) instead of two XLA einsums + `batched_spd_solve` —
+    the r4 wide-rig lever (docs/ROADMAP.md post-r4 #2)."""
+    from multiview_motion_capture_tpu.ops.solve_pallas import (
+        batched_spd_solve,
+        fused_normal_solve,
+    )
     T, n = x0.shape
     eye = jnp.eye(n, dtype=x0.dtype)
     frozen_diag = jnp.diag(1.0 - free_mask)
@@ -401,11 +410,17 @@ def _lm_solve_batched(
         x, r, lam, active, it = state
         _, J = rj(x, skel, obs, view_w, P, eps)
         J = J * free_mask[None, None, :]
-        JtJ = jnp.einsum("trd,tre->tde", J, J)
-        g = jnp.einsum("trd,tr->td", J, r)
-        ridge = 1e-6 * (jnp.trace(JtJ, axis1=1, axis2=2) / n) + 1e-6
-        A = JtJ + (lam + ridge)[:, None, None] * eye + frozen_diag[None]
-        dx = -batched_spd_solve(A, g, interpret=interpret) * free_mask[None, :]
+        if fused:
+            Jaug = jnp.concatenate([J, r[:, :, None]], axis=2)
+            sol = fused_normal_solve(Jaug, lam, 1.0 - free_mask,
+                                     interpret=interpret)
+            dx = -sol * free_mask[None, :]
+        else:
+            JtJ = jnp.einsum("trd,tre->tde", J, J)
+            g = jnp.einsum("trd,tr->td", J, r)
+            ridge = 1e-6 * (jnp.trace(JtJ, axis1=1, axis2=2) / n) + 1e-6
+            A = JtJ + (lam + ridge)[:, None, None] * eye + frozen_diag[None]
+            dx = -batched_spd_solve(A, g, interpret=interpret) * free_mask[None, :]
         x_new = x + dx
         r_new = resid_b(x_new, skel, obs, view_w, P, eps)
         c_old = jnp.sum(r * r, axis=1)
@@ -489,13 +504,15 @@ def solve_two_stage(
     free_all = jnp.asarray(_FREE_ALL)
     x0 = init.pack()
 
-    if solver == "gj":
-        # batched LM with the fused Pallas Gauss-Jordan normal-equation solve
+    if solver in ("gj", "gj_fused"):
+        # batched LM with the fused Pallas Gauss-Jordan normal-equation
+        # solve; "gj_fused" additionally fuses the JtJ/g assembly into the
+        # kernel (one J read per iteration)
         def stage(x, mask):
             return _lm_solve_batched(x, skel, obs, view_w, P, mask, n_iters,
                                      eps, lam0, lam_up, lam_down,
                                      interpret=interpret, ftol=ftol,
-                                     xtol=xtol)
+                                     xtol=xtol, fused=(solver == "gj_fused"))
 
         if stages == 1:
             x = stage(x0, free_all)

@@ -106,3 +106,86 @@ def batched_spd_solve(A: Array, g: Array, interpret: bool = False,
             interpret=interpret,
         )(aug)
     return out[:, :, D]
+
+
+def _fused_normal_gj_kernel(jaug_ref, lam_ref, eyep_ref, fdp_ref, out_ref,
+                            *, d: int, t_count: int):
+    """Normal-equation ASSEMBLY + solve in one program (r4, the per-
+    iteration LM fusion VERDICT r3 next #1c scoped):
+
+      G_t   = Jaug_t^T Jaug_t          (one MXU dot per slot; Jaug = [J|r],
+                                        so G's first d rows are [JtJ | Jt r])
+      aug_t = G_t[:d] + (lam_t + ridge_t) * eye_pad + frozen_pad
+      solve by the same masked-reduction Gauss-Jordan as `_gj_kernel_3d`.
+
+    Slots unroll statically (small T); per-slot lam rides SMEM as true
+    scalars (rank-1 vectors CHECK-crash Mosaic layout inference — see
+    scripts/xla_repros/repro3).  The augmented-input trick keeps every
+    in-kernel tensor rank-2 with a wide lane dim: no (D,1) column vectors
+    anywhere (lane-1 layouts are the repro2 hazard class).
+    """
+    eye_pad = eyep_ref[:]     # (d, d+1): 1.0 on the JtJ diagonal, else 0
+    fd_pad = fdp_ref[:]       # (d, d+1): frozen-param unit diagonal
+    augs = []
+    for t in range(t_count):
+        Jt = jaug_ref[t]      # (R, d+1)
+        G = jnp.dot(Jt.T, Jt, preferred_element_type=jnp.float32)
+        A_blk = G[:d, :]      # (d, d+1) sublane slice (zero offset)
+        tr = jnp.sum(A_blk * eye_pad)
+        ridge = 1e-6 * (tr / d) + 1e-6
+        lam_t = lam_ref[t, 0]
+        augs.append((A_blk + (lam_t + ridge) * eye_pad + fd_pad)[None])
+    aug = jnp.concatenate(augs, axis=0)  # (T, d, d+1)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, aug.shape, 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, aug.shape, 2)
+
+    def step(k, aug):
+        is_row_k = row_ids == k
+        is_col_k = col_ids == k
+        pivot_row = jnp.sum(jnp.where(is_row_k, aug, 0.0), axis=1,
+                            keepdims=True)
+        piv_val = jnp.sum(jnp.where(is_col_k, pivot_row, 0.0), axis=2,
+                          keepdims=True)
+        pivot_row = pivot_row / piv_val
+        col_k = jnp.sum(jnp.where(is_col_k, aug, 0.0), axis=2,
+                        keepdims=True)
+        elim = aug - col_k * pivot_row
+        return jnp.where(is_row_k, pivot_row, elim)
+
+    out_ref[:] = jax.lax.fori_loop(0, d, step, aug)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_normal_solve(Jaug: Array, lam: Array, frozen_diag: Array,
+                       interpret: bool = False) -> Array:
+    """Solve (J^T J + (lam + ridge) I + frozen_diag) x = J^T r for every
+    slot, reading J only once.
+
+    Jaug: (T, R, D+1) = [J | r] per slot (J pre-masked by the stage's
+    free_mask in XLA — it fuses into the jacobian computation); lam: (T,);
+    frozen_diag: (D,) 1.0 on frozen params.  Returns x (T, D) — the caller
+    applies `dx = -x * free_mask`.
+
+    vs the unfused path (two XLA einsums for JtJ/g + `batched_spd_solve`):
+    the (T, D, D) normal matrices and gradients never round-trip HBM, and
+    two dispatches disappear; J's read is mandatory either way.
+    """
+    T, R, D1 = Jaug.shape
+    d = D1 - 1
+    eye_pad = jnp.concatenate(
+        [jnp.eye(d, dtype=Jaug.dtype), jnp.zeros((d, 1), Jaug.dtype)], axis=1)
+    fd_pad = jnp.concatenate(
+        [jnp.diag(frozen_diag.astype(Jaug.dtype)),
+         jnp.zeros((d, 1), Jaug.dtype)], axis=1)
+    out = pl.pallas_call(
+        functools.partial(_fused_normal_gj_kernel, d=d, t_count=T),
+        out_shape=jax.ShapeDtypeStruct((T, d, d + 1), Jaug.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Jaug, lam[:, None], eye_pad, fd_pad)
+    return out[:, :, d]

@@ -100,6 +100,15 @@ def main():
         results["64cam_warmiters3"] = bench_config(
             64, 10, n_frames=60, clusters=2, ik_max_views=16,
             ik_cold_stages=1, ik_warm_iters=3)
+        # one-program JtJ/g assembly + GJ (J read once per LM iteration)
+        results["64cam_gj_fused"] = bench_config(
+            64, 10, n_frames=60, clusters=2, ik_max_views=16,
+            ik_solver="gj_fused")
+        results["64cam_gj_fused_warm3_cold1"] = bench_config(
+            64, 10, n_frames=60, clusters=2, ik_max_views=16,
+            ik_solver="gj_fused", ik_cold_stages=1, ik_warm_iters=3)
+        # Shelf-regression check for the fused solver is bench.py's job
+        # (parity config keeps solver="gj")
     print(json.dumps({
         "metric": "scaled_rig_fps",
         "value": results["10cam_x_10ppl"]["full_ik"]["fps"],

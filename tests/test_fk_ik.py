@@ -298,3 +298,50 @@ def test_per_track_projection_matrices_match_shared():
         _, j_b = IK.solve_two_stage(init, skel, jnp.asarray(obs), vw, P_per,
                                     n_iters=10, solver=solver, interpret=True)
         np.testing.assert_array_equal(np.asarray(j_a), np.asarray(j_b))
+
+
+def test_gj_fused_solver_matches_gj():
+    """solver='gj_fused' (one-program JtJ/g assembly + GJ, J read once)
+    must reproduce solver='gj' — the fused kernel computes the identical
+    normal equations in-kernel (bit-exact in interpret mode at the linear-
+    solve level; whole-solve outputs agree to fp tolerance)."""
+    cams = synthetic_camera_ring(4)
+    skel = FK.Skeleton.default()
+    rng = np.random.RandomState(6)
+    T, V = 4, 4
+    gt_root = np.array([0.0, 0.0, 0.95])
+    gt_euler = np.zeros((18, 3)); gt_euler[0] = [np.pi / 2, 0, 0]
+    gt_side = np.asarray(FK.REF_SIDE_BONE_LENS)
+    gt_joints = np.asarray(FK.forward_kinematics(
+        skel, jnp.asarray(gt_root, dtype=jnp.float32),
+        jnp.asarray(gt_euler, dtype=jnp.float32),
+        jnp.asarray(gt_side, dtype=jnp.float32)))
+    P = np.asarray(cams.P, dtype=np.float64)
+    obs = np.zeros((T, V, 17, 3), dtype=np.float32)
+    for v in range(V):
+        homo = np.concatenate([gt_joints, np.ones((18, 1))], 1)
+        uv = (homo @ P[v].T); uv = uv[:, :2] / uv[:, 2:3]
+        for s_i, o_i in zip(np.asarray(IK._SKEL_SEL), np.asarray(IK._OBS_SEL)):
+            if o_i < 17:
+                obs[:, v, o_i, :2] = uv[s_i]
+                obs[:, v, o_i, 2] = 1.0
+    init = IK.IkParams(
+        root=jnp.asarray(np.tile(gt_root + 0.08, (T, 1)), dtype=jnp.float32),
+        euler=jnp.asarray(np.tile(gt_euler[None], (T, 1, 1)) +
+                          rng.normal(0, 0.05, (T, 18, 3)), dtype=jnp.float32),
+        side_lens=jnp.asarray(np.tile(gt_side, (T, 1)), dtype=jnp.float32),
+    )
+    vw = jnp.ones((T, V))
+    p_gj, j_gj = IK.solve_two_stage(init, skel, jnp.asarray(obs), vw, cams.P,
+                                    n_iters=15, solver="gj", interpret=True)
+    p_f, j_f = IK.solve_two_stage(init, skel, jnp.asarray(obs), vw, cams.P,
+                                  n_iters=15, solver="gj_fused",
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(j_f), np.asarray(j_gj), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_f.side_lens),
+                               np.asarray(p_gj.side_lens), atol=1e-4)
+    sel = np.asarray(IK._SKEL_SEL)
+    for t in range(T):
+        err = np.linalg.norm(np.asarray(j_f[t])[sel] - gt_joints[sel],
+                             axis=-1).max()
+        assert err < 0.02, (t, err)
