@@ -113,8 +113,11 @@ class PipelineConfig:
     # r3 crowd study); the rescue pass and reprojection metrics keep using
     # the raw geometric distances.  0 = reference semantics (geometry only).
     appearance_dim: int = 0
-    # px of similarity distance per unit cosine distance, applied to BOTH
-    # the 2D-3D (track->detection) and 2D-2D (cross-view grouping) blocks.
+    # px of similarity distance per unit cosine distance, applied to the
+    # 2D-3D (track->detection) and 2D-2D (cross-view grouping) blocks of the
+    # spatial-time matrix AND to the spatial-only matrix (first frame /
+    # total-loss re-acquisition; there the z-stats stay geometric-only so
+    # the penalty cannot dilute its own scale — tracker._spatial_similarity).
     # CALIBRATE TO THE EMBEDDING SOURCE: discrimination needs roughly
     # gain * (cos_same - cos_diff) ~ 8 px while gain * (1 - cos_same)
     # stays small.  Oracle-grade embeddings (cross-person cos ~0): 20 ->
@@ -124,6 +127,23 @@ class PipelineConfig:
     # over-penalizes true matches (docs/PERF.md r4 sweeps).
     appearance_gain_px: float = 20.0
     appearance_beta: float = 0.5       # per-update EMA factor
+    # > 0 enables ONLINE GAIN AUTO-CALIBRATION, replacing the static
+    # appearance_gain_px once the tracker has seen enough evidence: the
+    # state carries EMA estimates of the matched (same-person) and
+    # non-matched (cross-person) track-vs-detection cosines, and the
+    # effective gain becomes target_px / (cos_same - cos_diff) — i.e. "a
+    # true-vs-false appearance swap is worth `target_px` pixels", whatever
+    # the embedding source's absolute cosine scale is.  This removes the
+    # calibrate-to-extractor footgun above (oracle needs ~20, the
+    # color-layout descriptor ~60).  Safety property: a signal-free
+    # extractor (gap < appearance_auto_min_gap) drives the gain to ZERO —
+    # useless embeddings self-disable instead of injecting noise.  During
+    # warm-up (stat weight < 0.5, ~7 matched frames at beta 0.1) the static
+    # gain applies.  The gain consumed at frame f uses stats through f-1.
+    appearance_auto_target_px: float = 0.0
+    appearance_auto_beta: float = 0.10     # EMA factor for the cosine stats
+    appearance_auto_max_px: float = 200.0  # gain clamp (tiny-gap blowup)
+    appearance_auto_min_gap: float = 0.02  # below this: no signal -> gain 0
 
     # ---- crowd-density preset safety (new; no reference analogue) ----------
     # pipeline.run warns when the mean number of concurrently CONFIRMED

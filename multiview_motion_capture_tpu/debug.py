@@ -40,6 +40,7 @@ from multiview_motion_capture_tpu.ops import association as assoc
 from multiview_motion_capture_tpu.tracker import (
     TrackerContext,
     TrackerState,
+    _appearance_gain,
     _spatial_similarity,
     _spatial_time_similarity,
     make_step,
@@ -115,7 +116,9 @@ def frame_debug(ctx: TrackerContext, state: TrackerState, kps, valid,
             views_c = np.nonzero(cluster_of_view == c)[0]
             sim_st, _, d23c = _spatial_time_similarity(
                 ctx, state, kps, valid, view_idx=views_c, app=app)
-            sim_sp, _ = _spatial_similarity(ctx, kps, valid, view_idx=views_c)
+            sim_sp, _ = _spatial_similarity(
+                ctx, kps, valid, view_idx=views_c, app=app,
+                app_gain=_appearance_gain(cfg, state))
             sim = sim_st if any_alive else sim_sp
             als = _als_xla(ctx, sim, ctx.cluster_diag_mask, ctx.cluster_init_A)
             clusters.append({
@@ -132,7 +135,8 @@ def frame_debug(ctx: TrackerContext, state: TrackerState, kps, valid,
     else:
         sim_st, ev_st, d23 = _spatial_time_similarity(ctx, state, kps, valid,
                                                       app=app)
-        sim_sp, ev_sp = _spatial_similarity(ctx, kps, valid)
+        sim_sp, ev_sp = _spatial_similarity(
+            ctx, kps, valid, app=app, app_gain=_appearance_gain(cfg, state))
         sim = sim_st if any_alive else sim_sp
         elem_valid = ev_st if any_alive else ev_sp
         als = _als_xla(ctx, sim, ctx.diag_mask, ctx.init_A)

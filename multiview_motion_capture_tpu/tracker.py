@@ -80,6 +80,10 @@ class TrackerState:
                          # for crossing disambiguation, measured in r3)
     app_ema: Array       # (T, cfg.appearance_dim) EMA appearance embedding
                          # per track (zero-width when appearance is off)
+    app_stats: Array     # (3,) online gain-calibration stats
+                         # [EMA cos(track, matched det), EMA cos(track,
+                         # non-matched det), EMA weight in [0, 1]]; all zero
+                         # until cfg.appearance_auto_target_px > 0 collects
     next_track_id: Array  # () int32
 
     @classmethod
@@ -97,6 +101,7 @@ class TrackerState:
             pose3d_score=jnp.zeros((T, 18)),
             root_vel=jnp.zeros((T, 3)),
             app_ema=jnp.zeros((T, cfg.appearance_dim)),
+            app_stats=jnp.zeros(3),
             next_track_id=jnp.asarray(0, jnp.int32),
         )
 
@@ -281,11 +286,35 @@ def _track_det_distances(ctx: TrackerContext, state: TrackerState,
                      d23, jnp.nan)
 
 
-def _appearance_penalty(cfg: PipelineConfig, app_ema: Array, app: Array) -> Array:
-    """Appearance term of the 2D-3D similarity block: `appearance_gain_px`
-    pixels of distance per unit cosine distance between a track's EMA
-    embedding and a detection's embedding (crossing-instant disambiguation;
-    zero wherever either side has no embedding yet).
+def _appearance_gain(cfg: PipelineConfig, state: TrackerState):
+    """The px-per-unit-cosine-distance gain the appearance penalties use.
+
+    Static `cfg.appearance_gain_px` by default; with
+    `cfg.appearance_auto_target_px > 0` it is derived ONLINE from the
+    state's matched-vs-unmatched cosine statistics (config.py for the
+    rationale): gain = target_px / EMA(cos_same - cos_diff), clamped to
+    [0, appearance_auto_max_px]; a gap below `appearance_auto_min_gap`
+    means the embeddings carry no identity signal and the gain goes to 0
+    (self-disabling); until the stat weight reaches 0.5 the static gain
+    applies.  Returns a python float (auto off — the compiled program is
+    unchanged) or a scalar traced value (auto on)."""
+    if cfg.appearance_auto_target_px <= 0:
+        return cfg.appearance_gain_px
+    cs, cd, w = state.app_stats[0], state.app_stats[1], state.app_stats[2]
+    gap = cs - cd
+    auto = jnp.clip(
+        cfg.appearance_auto_target_px
+        / jnp.maximum(gap, cfg.appearance_auto_min_gap),
+        0.0, cfg.appearance_auto_max_px)
+    auto = jnp.where(gap >= cfg.appearance_auto_min_gap, auto, 0.0)
+    return jnp.where(w >= 0.5, auto, cfg.appearance_gain_px)
+
+
+def _appearance_penalty(gain, app_ema: Array, app: Array) -> Array:
+    """Appearance term of the 2D-3D similarity block: `gain` pixels of
+    distance per unit cosine distance between a track's EMA embedding and a
+    detection's embedding (crossing-instant disambiguation; zero wherever
+    either side has no embedding yet).
 
     app_ema: (T, D); app: (V, P, D).  Returns (T, V, P).
     """
@@ -296,10 +325,10 @@ def _appearance_penalty(cfg: PipelineConfig, app_ema: Array, app: Array) -> Arra
         jnp.maximum(tn, eps)[:, None, None] * jnp.maximum(dn, eps)[None]
     )
     has = (tn > eps)[:, None, None] & (dn > eps)[None, :, :]
-    return jnp.where(has, cfg.appearance_gain_px * (1.0 - cos), 0.0)
+    return jnp.where(has, gain * (1.0 - cos), 0.0)
 
 
-def _appearance_penalty_d22(cfg: PipelineConfig, app: Array) -> Array:
+def _appearance_penalty_d22(gain, app: Array) -> Array:
     """Appearance term of the 2D-2D (cross-view detection grouping) block:
     same px-per-cosine-distance scale between detection pairs (epipolar
     geometry cannot separate two people near one epipolar plane; clothing
@@ -312,7 +341,7 @@ def _appearance_penalty_d22(cfg: PipelineConfig, app: Array) -> Array:
         * jnp.maximum(dn, eps)[None, None, :, :]
     )
     has = (dn > eps)[:, :, None, None] & (dn > eps)[None, None, :, :]
-    return jnp.where(has, cfg.appearance_gain_px * (1.0 - cos), 0.0)
+    return jnp.where(has, gain * (1.0 - cos), 0.0)
 
 
 def _spatial_time_similarity(
@@ -363,7 +392,7 @@ def _spatial_time_similarity(
         Fab = F_det[:, None, :, None, :, :]                # (V,1,V,1,3,3)
         d22 = geom.masked_symmetric_epipolar_error(ka, kb, Fab, cfg.epipolar_min_kps_score)
     if cfg.appearance_dim > 0 and app is not None:
-        d22 = d22 + _appearance_penalty_d22(cfg, app)
+        d22 = d22 + _appearance_penalty_d22(_appearance_gain(cfg, state), app)
     same_view = jnp.eye(V, dtype=bool)[:, None, :, None]
     pair_valid = det_valid[:, :, None, None] & det_valid[None, None, :, :]
     d22 = jnp.where(same_view | ~pair_valid, jnp.nan, d22)
@@ -375,7 +404,8 @@ def _spatial_time_similarity(
     # appearance evidence perturbs the SIMILARITY distances only; d23 itself
     # stays geometric (the rescue pass gates on physical pixels)
     if cfg.appearance_dim > 0 and app is not None:
-        d23_sim = d23 + _appearance_penalty(cfg, state.app_ema, app)
+        d23_sim = d23 + _appearance_penalty(_appearance_gain(cfg, state),
+                                            state.app_ema, app)
     else:
         d23_sim = d23
 
@@ -407,6 +437,8 @@ def _spatial_time_similarity(
 def _spatial_similarity(
     ctx: TrackerContext, kps: Array, det_valid: Array,
     view_idx: Optional[np.ndarray] = None,
+    app: Optional[Array] = None,
+    app_gain=None,
 ) -> Tuple[Array, Array]:
     """The spatial-only similarity (ref:src/motion_capture.py:597-631 +
     ref:src/mv_math_util.py:320-351 `geometry_affinity`): raw epipolar
@@ -414,8 +446,20 @@ def _spatial_similarity(
     z-normalized by the matrix's own masked mean/std, sigmoid.
     `view_idx` (static) restricts to a camera subset (cluster path); the
     z-normalization then uses the cluster matrix's own statistics, exactly
-    as the reference normalizes whatever matrix it solves."""
+    as the reference normalizes whatever matrix it solves.
+    `app` (V, P, D) detection appearance embeddings (cfg.appearance_dim > 0)
+    add the same px-per-cosine penalty as the spatial-time block — first
+    frame / total-loss re-acquisition is exactly where two people crossing
+    near one epipolar plane have no tracklet to disambiguate them.  Scale
+    handling: the z-statistics are computed over the GEOMETRIC distances
+    only (the penalty is added after), so the appearance term cannot dilute
+    its own weight by inflating the matrix std; its effective sigma weight
+    is appearance_gain_px / std(geometric matrix).  `app_gain` overrides the
+    px-per-cosine gain (the step passes `_appearance_gain(cfg, state)` so
+    auto-calibration covers this path too; None = the static config gain)."""
     cfg = ctx.cfg
+    if app_gain is None:
+        app_gain = cfg.appearance_gain_px
     T, P = cfg.max_tracks, cfg.max_people
     if view_idx is None:
         V = cfg.n_views
@@ -425,6 +469,8 @@ def _spatial_similarity(
         kps = kps[view_idx]
         det_valid = det_valid[view_idx]
         F_spatial = ctx.F_spatial[np.ix_(view_idx, view_idx)]
+        if app is not None:
+            app = app[view_idx]
     N = T + V * P
 
     if ctx.mesh is not None and view_idx is None:
@@ -447,6 +493,10 @@ def _spatial_similarity(
     mean = jnp.sum(jnp.where(valid2, dst, 0.0)) / cnt
     var = jnp.sum(jnp.where(valid2, (dst - mean) ** 2, 0.0)) / cnt
     std = jnp.maximum(jnp.sqrt(var), 1e-6)
+    if cfg.appearance_dim > 0 and app is not None:
+        # after the stats on purpose (see docstring); diagonal stays 0
+        pen = _appearance_penalty_d22(app_gain, app).reshape(V * P, V * P)
+        dst = dst + jnp.where(eye, 0.0, pen)
     sim2d = _masked_sigmoid_similarity(dst, valid2, mean, std, cfg.affinity_sigmoid_scale)
 
     sim = jnp.zeros((N, N), dtype=kps.dtype)
@@ -553,7 +603,8 @@ def _clustered_association(
         sim_st_c, _, _ = _spatial_time_similarity(ctx, state, kps, det_valid,
                                                   view_idx=views_c, app=app)
         sim_sp_c, _ = _spatial_similarity(ctx, kps, det_valid,
-                                          view_idx=views_c)
+                                          view_idx=views_c, app=app,
+                                          app_gain=_appearance_gain(cfg, state))
         subs.append(jnp.where(any_alive, sim_st_c, sim_sp_c))
 
     if ctx.cluster_mesh is not None:
@@ -715,7 +766,9 @@ def make_step(ctx: TrackerContext):
         else:
             sim_st, ev_st, d23 = _spatial_time_similarity(ctx, state, kps,
                                                           det_valid, app=app)
-            sim_sp, ev_sp = _spatial_similarity(ctx, kps, det_valid)
+            sim_sp, ev_sp = _spatial_similarity(
+                ctx, kps, det_valid, app=app,
+                app_gain=_appearance_gain(cfg, state))
             sim = jnp.where(any_alive, sim_st, sim_sp)
             elem_valid = jnp.where(any_alive, ev_st, ev_sp)
             als = _run_als(ctx, sim, ctx.als_pallas_ctx, ctx.diag_mask,
@@ -781,8 +834,8 @@ def make_step(ctx: TrackerContext):
                 # geometrically close (the crowd identity hazard) — the
                 # same px-per-cosine penalty pushes wrong-person
                 # detections beyond the rescue gate
-                d23_rescue = d23 + _appearance_penalty(cfg, state.app_ema,
-                                                       app)
+                d23_rescue = d23 + _appearance_penalty(
+                    _appearance_gain(cfg, state), state.app_ema, app)
             else:
                 d23_rescue = d23
             d23f = d23_rescue.reshape(T, V * P)
@@ -1064,6 +1117,53 @@ def make_step(ctx: TrackerContext):
         else:
             new_app = state.app_ema
 
+        # 7d. online gain-calibration stats (cfg.appearance_auto_target_px):
+        # fold this frame's matched (same-person) and claimed-by-another-
+        # track (cross-person) track-vs-detection cosines into the EMA
+        # stats the NEXT frame's _appearance_gain consumes.  Cross samples
+        # are restricted to detections another track claimed this frame —
+        # both sides then carry a firm identity belief (an unmatched
+        # detection of the track's own person would otherwise pollute
+        # cos_diff upward).  One-person scenes never produce cross samples,
+        # so w stays 0 and the static gain applies — appearance evidence
+        # is moot there anyway.
+        if use_app and cfg.appearance_auto_target_px > 0:
+            eps = 1e-6
+            tn = jnp.linalg.norm(state.app_ema, axis=-1)          # (T,)
+            dn = jnp.linalg.norm(app, axis=-1)                    # (V, P)
+            cosall = jnp.einsum("td,vpd->tvp", state.app_ema, app) / (
+                jnp.maximum(tn, eps)[:, None, None]
+                * jnp.maximum(dn, eps)[None])
+            has = ((tn > eps)[:, None, None] & (dn > eps)[None]
+                   & det_valid[None])
+            matched = (m_exists[:, :, None]
+                       & (jnp.arange(P, dtype=jnp.int32)[None, None, :]
+                          == jnp.maximum(m_match, 0)[:, :, None]))
+            claimed = jnp.any(matched, axis=0)                    # (V, P)
+            same_m = has & matched & (update_mask & ~spawned)[:, None, None]
+            diff_m = (has & ~matched & claimed[None]
+                      & ((state.active > 0) & ~spawned)[:, None, None])
+            n_s = same_m.sum()
+            n_d = diff_m.sum()
+            mean_s = jnp.where(same_m, cosall, 0.0).sum() / jnp.maximum(n_s, 1)
+            mean_d = jnp.where(diff_m, cosall, 0.0).sum() / jnp.maximum(n_d, 1)
+            cs, cd, w = (state.app_stats[0], state.app_stats[1],
+                         state.app_stats[2])
+            b_s = cfg.appearance_auto_beta
+            have_both = (n_s > 0) & (n_d > 0)
+            # the first contributing frame SETS the stats (w == 0); later
+            # ones EMA-fold; w ramps 0 -> 1 on contributing frames only
+            new_cs = jnp.where(
+                have_both,
+                jnp.where(w > 0, (1 - b_s) * cs + b_s * mean_s, mean_s), cs)
+            new_cd = jnp.where(
+                have_both,
+                jnp.where(w > 0, (1 - b_s) * cd + b_s * mean_d, mean_d), cd)
+            new_w = jnp.where(have_both, (1.0 - b_s) * w + b_s, w)
+            new_app_stats = jnp.stack([new_cs, new_cd, new_w])
+        else:
+            new_app_stats = state.app_stats
+
         # 8. lifecycle bookkeeping
         touched = update_mask | spawned
         new_hits = jnp.where(spawned, 1, jnp.where(update_mask, state.hits + 1, state.hits))
@@ -1090,6 +1190,7 @@ def make_step(ctx: TrackerContext):
             pose3d_score=new_score,
             root_vel=new_vel,
             app_ema=new_app,
+            app_stats=new_app_stats,
             next_track_id=next_tid,
         )
         out = FrameOutput(

@@ -85,9 +85,8 @@ def main():
     # (identity_metrics scores matched_pose indices against these)
     det_slot_person, (same, diff) = _label_detections(seq, batch, app)
 
-    def score(appearance):
-        c = (dataclasses.replace(cfg, appearance_dim=app.shape[-1],
-                                 appearance_gain_px=60.0)
+    def score(appearance, **over):
+        c = (dataclasses.replace(cfg, appearance_dim=app.shape[-1], **over)
              if appearance else cfg)
         res = pipeline.run(batch, cams_small, c, use_ik=False,
                            app=app if appearance else None)
@@ -106,7 +105,15 @@ def main():
         "extractor_cos_same": round(same, 3),
         "extractor_cos_diff": round(diff, 3),
         "geometry_only": score(False),
-        "appearance_gain60": score(True),
+        "appearance_gain60": score(True, appearance_gain_px=60.0),
+        # the calibration footgun: the oracle-tuned default gain is too
+        # weak for this extractor's 0.14 cosine gap (docs/PERF.md r4)
+        "appearance_gain20_default": score(True),
+        # online auto-calibration (r4): static gain left at the WRONG
+        # default, target 8 px per true-vs-false swap — the tracker should
+        # land near the hand-tuned gain60 row without any extractor tuning
+        "appearance_auto_target8": score(True,
+                                         appearance_auto_target_px=8.0),
     }
     print(json.dumps({"metric": "appearance_e2e_study", "extra": out},
                      indent=1))

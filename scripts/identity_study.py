@@ -26,7 +26,8 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
                  min_track_length=2, person_scale_std=0.0,
                  bone_jitter_std=0.0, compare_bone_gate=False,
                  appearance_dim=0, appearance_noise=0.25,
-                 appearance_gain_px=None):
+                 appearance_gain_px=None, appearance_shared_frac=0.0,
+                 appearance_auto_target_px=None):
     import jax.numpy as jnp
 
     from multiview_motion_capture_tpu.config import PipelineConfig
@@ -53,6 +54,8 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
         appearance_dim=appearance_dim,
         **({} if appearance_gain_px is None
            else {"appearance_gain_px": appearance_gain_px}),
+        **({} if appearance_auto_target_px is None
+           else {"appearance_auto_target_px": appearance_auto_target_px}),
     )
     seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
                              n_views=n_views, cfg=cfg, seed=0,
@@ -61,8 +64,9 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
                              bone_jitter_std=bone_jitter_std)
     app = None
     if appearance_dim > 0:
-        app = jnp.asarray(synthetic_appearance(seq, dim=appearance_dim,
-                                               noise=appearance_noise))
+        app = jnp.asarray(synthetic_appearance(
+            seq, dim=appearance_dim, noise=appearance_noise,
+            shared_frac=appearance_shared_frac))
     ctx = TrackerContext.build(seq.cameras, cfg, use_ik=use_ik)
     _, out = run_offline(ctx, jnp.asarray(seq.batch.kps),
                          jnp.asarray(seq.batch.valid), app=app)
@@ -120,6 +124,17 @@ def main():
         # (VERDICT r3 next #2)
         "10cam_x_10ppl_f200_appearance": study_config(
             10, 10, 200, appearance_dim=16),
+        # extractor-grade embeddings (shared_frac 0.83 emulates the
+        # keypoint-color-layout descriptor's cos_diff ~0.83) at the
+        # UNTUNED default gain 20 (too weak for that gap) vs online
+        # auto-calibration (r4, appearance_auto_target_px): auto should
+        # recover the tuned-gain identity without per-extractor tuning
+        "10cam_x_10ppl_f200_appearance_extractorgrade_gain20": study_config(
+            10, 10, 200, appearance_dim=16, appearance_noise=0.05,
+            appearance_shared_frac=0.83),
+        "10cam_x_10ppl_f200_appearance_extractorgrade_auto8": study_config(
+            10, 10, 200, appearance_dim=16, appearance_noise=0.05,
+            appearance_shared_frac=0.83, appearance_auto_target_px=8.0),
     }
     print(json.dumps({
         "metric": "identity_study",

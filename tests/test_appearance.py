@@ -7,6 +7,7 @@ from pathlib import Path
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -150,6 +151,97 @@ def test_detect_to_track_with_appearance_e2e():
     res = pipeline.run(batch, cams_small, cfg_app, use_ik=False, app=app)
     long = [t for t in res.tracklets if len(t) >= 4]
     assert len(long) == 2, [len(t) for t in res.tracklets]
+
+
+def test_spatial_path_appearance_semantics():
+    """The spatial-only matrix (first frame / total-loss re-acquisition,
+    roadmap r4 #4) carries the same appearance penalty: cross-person
+    similarity entries drop, same-person entries and the z-statistics are
+    untouched (stats are computed over the geometric distances only, so
+    identical embeddings everywhere reproduce the geometric matrix
+    bit-exactly)."""
+    from multiview_motion_capture_tpu.tracker import _spatial_similarity
+
+    cfg = _base(appearance_dim=8)
+    seq = synthetic_sequence(n_frames=2, n_people=2, n_views=4, cfg=cfg,
+                             seed=3, drop_prob=0.0)
+    ctx = TrackerContext.build(seq.cameras, cfg, use_ik=False)
+    kps = jnp.asarray(seq.batch.kps[0])          # (V, P, K, 3)
+    valid = jnp.asarray(seq.batch.valid[0])      # (V, P)
+    app = jnp.asarray(synthetic_appearance(seq, dim=8, noise=0.0)[0])
+
+    sim_geo, ev = _spatial_similarity(ctx, kps, valid)
+
+    # identical embedding on every detection -> cos == 1 -> zero penalty,
+    # and because the z-stats ignore the penalty the matrix is bit-equal
+    one = jnp.where(valid[..., None], app[0, 0] / jnp.linalg.norm(app[0, 0]),
+                    0.0)
+    sim_same = _spatial_similarity(ctx, kps, valid, app=one)[0]
+    np.testing.assert_array_equal(np.asarray(sim_geo), np.asarray(sim_same))
+
+    # distinct per-person embeddings -> cross-person entries strictly drop,
+    # same-person entries stay (noise=0 embeddings are exact per person)
+    sim_app = _spatial_similarity(ctx, kps, valid, app=app)[0]
+    T, P = cfg.max_tracks, cfg.max_people
+    person = np.asarray(seq.gt_slot_person[0])   # (V, P) person id per slot
+    vflat = np.asarray(valid).reshape(-1)
+    pid = person.reshape(-1)
+    g = np.asarray(sim_geo)[T:, T:]
+    a = np.asarray(sim_app)[T:, T:]
+    n = g.shape[0]
+    ij_valid = np.outer(vflat, vflat) & ~np.eye(n, dtype=bool)
+    same_person = (pid[:, None] == pid[None, :]) & ij_valid
+    cross = ij_valid & ~same_person
+    # same-person penalty is gain * (1 - cos) with cos numerically ~1 but
+    # not bit-exactly 1 (norm/dot rounding), so allow float-noise slack
+    np.testing.assert_allclose(a[same_person], g[same_person],
+                               rtol=0, atol=5e-7)
+    assert np.all(a[cross] <= g[cross])          # penalty only ever hurts
+    assert np.max(g[cross] - a[cross]) > 0.05    # and it actually bites
+
+
+def test_auto_gain_calibration():
+    """Online gain auto-calibration (cfg.appearance_auto_target_px,
+    roadmap r4 #3): the state's cosine stats converge to the embedding
+    source's actual same/cross cosines, the effective gain lands at
+    target / gap whatever the source's absolute scale, and a signal-free
+    source self-disables (gain -> 0) instead of injecting noise."""
+    from multiview_motion_capture_tpu.tracker import _appearance_gain
+
+    def final_state(shared_frac, noise):
+        cfg = _base(appearance_dim=8, appearance_auto_target_px=8.0)
+        seq = synthetic_sequence(n_frames=30, n_people=3, n_views=4,
+                                 cfg=cfg, seed=5, drop_prob=0.05)
+        app = synthetic_appearance(seq, dim=8, noise=noise,
+                                   shared_frac=shared_frac)
+        ctx = TrackerContext.build(seq.cameras, cfg, use_ik=False)
+        st, _ = run_offline(ctx, jnp.asarray(seq.batch.kps),
+                            jnp.asarray(seq.batch.valid),
+                            app=jnp.asarray(app))
+        return cfg, st
+
+    # oracle-grade identities: at dim=8 / noise=0.25 the actual statistics
+    # are cos_same ~ 1/sqrt(1 + 0.25^2 * 8) ~ 0.8 and cos_diff ~ 1/sqrt(8)
+    # order (random unit vectors in 8-dim are not orthogonal) — the
+    # CONTRACT is that the stats track those truths and the gain lands at
+    # target / gap, not any particular absolute cosine
+    cfg, st = final_state(0.0, 0.25)
+    cs, cd, w = np.asarray(st.app_stats)
+    assert w > 0.5, st.app_stats
+    assert cs > 0.6 and cs - cd > 0.3, (cs, cd)
+    g = float(_appearance_gain(cfg, st))
+    assert g == pytest.approx(8.0 / (cs - cd), rel=1e-3), (g, cs, cd)
+
+    # extractor-grade shared structure (cos_diff ~0.8): the gap shrinks,
+    # the auto gain grows to keep the true-vs-false swap worth target px
+    cfg2, st2 = final_state(0.83, 0.15)
+    g2 = float(_appearance_gain(cfg2, st2))
+    assert g2 > 1.5 * g, (g, g2)
+
+    # signal-free source (identical embedding for everyone): gap ~ 0
+    cfg3, st3 = final_state(1.0, 0.0)
+    g3 = float(_appearance_gain(cfg3, st3))
+    assert g3 == 0.0, (g3, np.asarray(st3.app_stats))
 
 
 def test_appearance_improves_crowd_identity():
