@@ -35,10 +35,11 @@ from multiview_motion_capture_tpu.tracker import (
 
 
 def bench_config(n_views, n_people, n_frames=200, als_backend="auto",
-                 clusters=1, ik_max_views=None, **cfg_kw):
+                 clusters=1, ik_max_views=None, ik_solver="gj", **cfg_kw):
     cfg = PipelineConfig(
         n_views=n_views, max_people=n_people, max_tracks=16,
-        max_frames=None, als_max_iter=100, ik_warm_stages=1, ik_solver="gj",
+        max_frames=None, als_max_iter=100, ik_warm_stages=1,
+        ik_solver=ik_solver,
         als_backend=als_backend, assoc_clusters=clusters,
         ik_max_views=ik_max_views, **cfg_kw,
     )
