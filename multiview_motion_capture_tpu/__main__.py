@@ -30,18 +30,31 @@ def _add_common(p):
                    help="drop output tracklets shorter than this (and "
                         "never-finite degenerate ghosts); 1 = keep all "
                         "(reference-parity fragments)")
+    p.add_argument("--preset", default="parity",
+                   choices=("parity", "fast", "crowded", "wide"),
+                   help="config preset: parity (reference-faithful default), "
+                        "fast (ALS early-exit throughput), crowded "
+                        "(identity-first, rescue off), wide (16+-camera "
+                        "rigs: merged cold IK, warm budget 3, 16-view cap)")
 
 
 def _config(args, n_views):
     from multiview_motion_capture_tpu.config import PipelineConfig
 
-    return PipelineConfig(
-        n_views=n_views,
+    common = dict(
         max_frames=args.max_frames,
         max_people=args.max_people,
         max_tracks=args.max_tracks,
         min_track_length=getattr(args, "min_track_len", 1),
     )
+    preset = getattr(args, "preset", "parity")
+    if preset == "fast":
+        return PipelineConfig.fast(n_views=n_views, **common)
+    if preset == "crowded":
+        return PipelineConfig.crowded(n_views=n_views, **common)
+    if preset == "wide":
+        return PipelineConfig.wide(n_views, **common)
+    return PipelineConfig(n_views=n_views, **common)
 
 
 def main(argv=None) -> int:

@@ -195,7 +195,11 @@ class PipelineConfig:
     # LM linear solver: "chol" (batched Cholesky via vmap), "gj" (fused
     # Pallas Gauss-Jordan over all slots in one kernel), or "gj_fused"
     # (additionally fuses the JtJ/g normal-equation assembly into the same
-    # kernel — one J read per LM iteration; the r4 wide-rig lever)
+    # kernel — one J read per LM iteration).  gj_fused measured a slight
+    # NEGATIVE vs gj on the TPU at wide-rig shapes (126.1 vs 126.7 /
+    # 165.1 vs 170.7 fps, docs/PERF.md r4 sweep): XLA already keeps the
+    # (T,512,68) JtJ matmuls fused with the ridge add.  Kept as an option;
+    # no preset selects it.
     ik_solver: str = "chol"
     # Wide rigs: solve each track's IK against only its `ik_max_views`
     # highest-score matched views (per-track static gather; LM residual work
@@ -236,7 +240,36 @@ class PipelineConfig:
             als_max_iter=100,
             als_stable_iters=6,
             ik_warm_stages=1,
+            ik_cold_stages=1,
             ik_solver="gj",
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def wide(cls, n_views: int, **overrides) -> "PipelineConfig":
+        """Throughput preset for wide rigs (16+ well-placed cameras).
+
+        Packages the r4 TPU-measured wide-rig IK levers (docs/PERF.md r4
+        sweep, 64 cam x 10 ppl): merged cold schedule + 3-iteration warm
+        budget + 16-view IK cap -> 64-cam full IK 126.7 -> 170.7 fps with
+        association bit-identical and crowd quality neutral (36 tracklets /
+        8 long / 0.8621 m vs 37/8/0.8611 at the default budget, CPU quality
+        study).  Past the fused-ALS kernel's N=384 ceiling the association
+        switches to hierarchical interleaved camera clusters (2 clusters
+        from 48 cameras up).  The warm-budget cut is wide-rig-ONLY: Shelf
+        (5 cameras, real detections) fragments already at warm 4 — do not
+        use this preset on narrow rigs.
+        """
+        base = dict(
+            n_views=n_views,
+            als_max_iter=100,
+            ik_warm_stages=1,
+            ik_solver="gj",
+            ik_cold_stages=1,
+            ik_warm_iters=3,
+            ik_max_views=16,
+            assoc_clusters=2 if n_views >= 48 else 1,
         )
         base.update(overrides)
         return cls(**base)
@@ -288,5 +321,10 @@ SHELF_BENCH = PipelineConfig(
     als_max_iter=100,
     als_stable_iters=10,
     ik_warm_stages=1,
+    # merged cold schedule: quality BETTER on Shelf than the reference's
+    # staged warmup (22 vs 25 fragments, mean reproj 9.62 vs 10.73 px —
+    # the geometric init makes stage 1 redundant; docs/PERF.md r4 study).
+    # The parity default (PipelineConfig()) keeps the staged schedule.
+    ik_cold_stages=1,
     ik_solver="gj",
 )

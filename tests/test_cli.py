@@ -1,0 +1,55 @@
+"""CLI argument plumbing tests (no subprocesses, no device work).
+
+The CLI surface mirrors the reference's run modes
+(/root/reference/src/motion_capture.py argparse main); these tests pin the
+flag -> PipelineConfig mapping, most importantly the `--preset` dispatch
+added in r4 so the measured presets (fast/crowded/wide) are reachable
+without writing Python.
+"""
+
+import argparse
+
+from multiview_motion_capture_tpu.__main__ import _config
+
+
+def _args(**kw):
+    base = dict(max_frames=300, max_people=10, max_tracks=16,
+                min_track_len=1, preset="parity")
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_config_parity_default():
+    cfg = _config(_args(), n_views=5)
+    assert cfg.n_views == 5
+    assert cfg.max_frames == 300
+    assert cfg.max_people == 10
+    assert cfg.max_tracks == 16
+    assert cfg.min_track_length == 1
+    # parity schedule: staged cold warmup, full stable-iters budget
+    assert cfg.ik_cold_stages == 2
+    assert cfg.als_stable_iters == 15
+
+
+def test_config_preset_fast():
+    cfg = _config(_args(preset="fast", max_frames=64), n_views=5)
+    assert cfg.als_stable_iters == 6
+    assert cfg.ik_cold_stages == 1
+    assert cfg.max_frames == 64  # common flags still apply
+
+
+def test_config_preset_crowded():
+    cfg = _config(_args(preset="crowded", max_tracks=24), n_views=10)
+    assert cfg.track_rescue_px == 0.0
+    assert cfg.n_views == 10
+    assert cfg.max_tracks == 24
+
+
+def test_config_preset_wide():
+    cfg = _config(_args(preset="wide"), n_views=64)
+    assert cfg.ik_cold_stages == 1
+    assert cfg.ik_warm_iters == 3
+    assert cfg.ik_max_views == 16
+    assert cfg.assoc_clusters == 2
+    cfg20 = _config(_args(preset="wide"), n_views=20)
+    assert cfg20.assoc_clusters == 1
