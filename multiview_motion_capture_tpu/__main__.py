@@ -113,6 +113,13 @@ def main(argv=None) -> int:
                             "also emits keypoint-color-layout embeddings "
                             "and the tracker uses them to disambiguate "
                             "crossings (bottom-up checkpoint only)")
+    p_det.add_argument("--appearance_head", default="auto",
+                       metavar="PATH|auto|none",
+                       help="metric-learned embedding head refining the "
+                            "color-layout descriptor (held-out cos gap "
+                            "0.05 -> 0.74, docs/PERF.md r4). 'auto' (the "
+                            "default) uses the shipped checkpoint when "
+                            "present; 'none' keeps the raw descriptor")
     _add_common(p_det)
 
     p_viz = sub.add_parser("viz", help="render tracklets to video")
@@ -260,10 +267,24 @@ def main(argv=None) -> int:
         if use_app and not mcfg.predict_offsets:
             parser.error("--appearance needs the bottom-up checkpoint "
                          "(predict_offsets=True)")
+        head = None
+        if use_app and args.appearance_head != "none":
+            hp = args.appearance_head
+            if hp == "auto":
+                shipped_h = (Path(__file__).parent / "models" / "checkpoints"
+                             / "appearance_head.npz")
+                hp = str(shipped_h) if shipped_h.exists() else None
+            if hp:
+                from multiview_motion_capture_tpu.models.checkpoint import (
+                    load_appearance_head,
+                )
+
+                head = load_appearance_head(Path(hp))
         if mcfg.predict_offsets:
             # single-pass bottom-up (the shipped checkpoint's architecture)
             detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people,
-                                             return_appearance=use_app)
+                                             return_appearance=use_app,
+                                             appearance_head=head)
         else:
             detect = make_multi_person_detector(
                 mcfg, max_people=cfg.max_people,
@@ -276,11 +297,15 @@ def main(argv=None) -> int:
                                                collect_appearance=True)
             import dataclasses as _dc
 
-            # gain calibrated to the color-layout extractor's cosine
-            # structure (cos_same 0.97 / cos_diff 0.83 -> ~8px
-            # discrimination at 60; config.appearance_gain_px provenance)
+            # gain calibrated per extractor: the raw color-layout
+            # descriptor's 0.07-0.14 cosine gap needs 60 for ~8px
+            # discrimination; the trained head's ~0.7 gap is in the
+            # oracle regime where the default 20 is the measured best
+            # (docs/PERF.md r4 head study: IDF1 0.957 at 20 vs 0.943
+            # at 60)
             cfg = _dc.replace(cfg, appearance_dim=app.shape[-1],
-                              appearance_gain_px=60.0)
+                              appearance_gain_px=(20.0 if head is not None
+                                                  else 60.0))
         else:
             batch = frames_to_frame_batch(detect, params, images, cfg)
         detect_s = time.perf_counter() - t0

@@ -255,6 +255,7 @@ def make_bottom_up_detector(
     snap_min: float = 0.15,
     det_min_score: float = 0.0,
     return_appearance: bool = False,
+    appearance_head=None,
 ):
     """SINGLE-PASS full-frame multi-person detector (the >100 fps path).
 
@@ -274,6 +275,13 @@ def make_bottom_up_detector(
     (`appearance_from_keypoints`), unit rows (zero for empty slots), ready
     for the tracker's appearance-evidence term (config.appearance_dim).
     Same single forward either way.
+
+    `appearance_head` = (AppearanceHeadConfig, params) additionally refines
+    the descriptor through the metric-learned MLP
+    (`models.appearance_net`, trained by scripts/train_appearance.py):
+    embeddings become (V, max_people, head.out_dim), held-out cosine gap
+    ~0.7 vs the raw descriptor's 0.05-0.14 (docs/PERF.md r4).  The MLP is
+    a negligible matmul chain riding the same jit.
     """
     assert model_cfg.predict_offsets, "bottom-up path needs the offset head"
     model = PoseNet(model_cfg)
@@ -301,6 +309,12 @@ def make_bottom_up_detector(
             kps_img = jnp.concatenate(
                 [kps_hm[..., :2] * 4.0, kps_hm[..., 2:3]], axis=-1)
             emb = appearance_from_keypoints(images, kps_img, valid)
+            if appearance_head is not None:
+                from multiview_motion_capture_tpu.models.appearance_net import (
+                    apply_head,
+                )
+
+                emb = apply_head(appearance_head[0], appearance_head[1], emb)
         to_frame = jnp.asarray([W / hw_, H / hh], dtype=kps_hm.dtype)
         xy = kps_hm[..., :2] * to_frame
         kps = jnp.concatenate([xy, kps_hm[..., 2:3]], axis=-1)

@@ -92,3 +92,43 @@ def load_params(path: Path, like: Any) -> Any:
             flat, treedef = jax.tree_util.tree_flatten_with_path(like)
             leaves = [jnp.asarray(z[jax.tree_util.keystr(k)]) for k, _ in flat]
         return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_appearance_head(path: Path, cfg, params) -> None:
+    """Single-file self-describing appearance-head checkpoint (npz with the
+    AppearanceHeadConfig as JSON), mirroring `save_posenet`'s format."""
+    import dataclasses
+    import json
+
+    import jax
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    arrays["__appearance_head_config__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(str(path), **arrays)
+
+
+def load_appearance_head(path: Path):
+    """Load a `save_appearance_head` checkpoint -> (cfg, params)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multiview_motion_capture_tpu.models.appearance_net import (
+        AppearanceHeadConfig,
+        init_head,
+    )
+
+    with np.load(str(path)) as z:
+        d = json.loads(bytes(z["__appearance_head_config__"]).decode())
+        d["hidden"] = tuple(d["hidden"])
+        cfg = AppearanceHeadConfig(**d)
+        like = init_head(jax.random.PRNGKey(0), cfg)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = [jnp.asarray(z[jax.tree_util.keystr(k)]) for k, _ in flat]
+    return cfg, jax.tree_util.tree_unflatten(treedef, leaves)

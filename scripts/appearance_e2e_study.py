@@ -8,6 +8,8 @@ extractor-calibrated value; docs/PERF.md r4) — the production path the
 oracle-embedding studies approximate.
 
     python scripts/appearance_e2e_study.py          # CPU, ~10 min
+    python scripts/appearance_e2e_study.py --head   # metric-learned head
+                                                    # (appearance_head.npz)
 """
 from __future__ import annotations
 
@@ -74,9 +76,17 @@ def main():
                              world_scale=0.25, seed=2, person_tints=tints)
     cams_small = scaled_cameras(seq.cameras, 0.25)
 
+    head = None
+    if "--head" in sys.argv:
+        from multiview_motion_capture_tpu.models.checkpoint import (
+            load_appearance_head,
+        )
+
+        head = load_appearance_head(CKPT.parent / "appearance_head.npz")
     detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people,
                                      center_min_score=0.2,
-                                     return_appearance=True)
+                                     return_appearance=True,
+                                     appearance_head=head)
     batch, app = frames_to_frame_batch(detect, params, images, cfg,
                                        collect_appearance=True)
 
@@ -102,6 +112,7 @@ def main():
         }
 
     out = {
+        "extractor": "color_layout+head" if head else "color_layout",
         "extractor_cos_same": round(same, 3),
         "extractor_cos_diff": round(diff, 3),
         "geometry_only": score(False),
