@@ -30,6 +30,7 @@ import numpy as np
 
 from multiview_motion_capture_tpu.config import PipelineConfig
 from multiview_motion_capture_tpu.data.ingest import FrameBatch
+from multiview_motion_capture_tpu.models.appearance_net import apply_head
 from multiview_motion_capture_tpu.models.pose_net import (
     PoseNet,
     PoseNetConfig,
@@ -310,10 +311,6 @@ def make_bottom_up_detector(
                 [kps_hm[..., :2] * 4.0, kps_hm[..., 2:3]], axis=-1)
             emb = appearance_from_keypoints(images, kps_img, valid)
             if appearance_head is not None:
-                from multiview_motion_capture_tpu.models.appearance_net import (
-                    apply_head,
-                )
-
                 emb = apply_head(appearance_head[0], appearance_head[1], emb)
         to_frame = jnp.asarray([W / hw_, H / hh], dtype=kps_hm.dtype)
         xy = kps_hm[..., :2] * to_frame

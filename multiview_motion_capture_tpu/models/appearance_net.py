@@ -124,6 +124,7 @@ def cosine_gap(z: Array, labels: Array) -> Tuple[Array, Array]:
 
 def make_train_step(cfg: AppearanceHeadConfig, tx, tau: float = 0.1):
     """jitted (params, opt_state, embs, labels) -> (params, opt_state, loss)."""
+    import optax
 
     @jax.jit
     def step(params, opt_state, embs, labels):
@@ -133,8 +134,6 @@ def make_train_step(cfg: AppearanceHeadConfig, tx, tau: float = 0.1):
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        import optax
-
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

@@ -49,15 +49,20 @@ CKPT = (Path(__file__).resolve().parents[1]
 # 4 people with real separation: the shipped checkpoint trains on 1-4
 # people per view; denser rendered crowds collapse DETECTION quality and
 # make the association comparison meaningless (measured: 6 tightly-packed
-# people -> IDF1 0.15 for geometry AND appearance alike)
+# people -> IDF1 0.15 for geometry AND appearance alike).  --people N
+# overrides (keep min_person_distance in mind — the r4 crowd run uses
+# well-separated starts so detection survives while crossings still occur).
 N_PEOPLE = 4
+if "--people" in sys.argv:
+    N_PEOPLE = int(sys.argv[sys.argv.index("--people") + 1])
 N_VIEWS = 5
 N_FRAMES = 60
 
 
 def main():
     mcfg, params = load_posenet(CKPT)
-    cfg = PipelineConfig(n_views=N_VIEWS, max_people=8, max_tracks=12,
+    cfg = PipelineConfig(n_views=N_VIEWS, max_people=max(8, N_PEOPLE + 2),
+                         max_tracks=max(12, 2 * N_PEOPLE),
                          max_frames=None, als_max_iter=100, ik_warm_stages=1,
                          ik_solver="gj", track_rescue_px=0.0)
     seq = synthetic_sequence(n_frames=N_FRAMES, n_people=N_PEOPLE,
