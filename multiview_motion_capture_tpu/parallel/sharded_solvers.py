@@ -106,3 +106,67 @@ def sharded_cluster_als(
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )(subs, diag_mask, init_A)
+
+
+def make_track_mesh(n_devices: Optional[int] = None,
+                    axis_name: str = "tk") -> Mesh:
+    """A 1-axis mesh over the track-slot dimension (for `sharded_lm_solve`)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), axis_names=(axis_name,))
+
+
+def sharded_lm_solve(
+    init,                   # IkParams pytree, (T, ...) leaves
+    skel,                   # Skeleton (replicated constant)
+    obs_coco: Array,        # (T, V, 17, 3) per-slot observations
+    view_w: Array,          # (T, V) view weights
+    Pmats: Array,           # (V, 3, 4) shared or (T, V, 3, 4) per-slot
+    mesh: Mesh,
+    axis: str = "tk",
+    **solve_kw,
+):
+    """`ops.ik.solve_two_stage` with the track batch sharded over `mesh[axis]`.
+
+    Each track slot's LM problem is independent (the single-chip path batches
+    them into one solve precisely because of that), so T slots map to devices
+    with ZERO collectives — the gather implied by consuming the sharded
+    output is the only communication.  This is the second half of the
+    one-rig solver decomposition (VERDICT r3 next #4): `sharded_cluster_als`
+    spreads the association solves, this spreads the (T, 68-param) LM batch.
+
+    A free structural bonus: the batched `gj` solver's while-loop runs to the
+    slowest ACTIVE slot, so a device whose local T/n slots all converge early
+    exits early instead of idling on another slot's worst case — the
+    iteration coupling that made global ftol/xtol levers dead on one chip
+    (docs/PERF.md r4 iteration study) weakens to per-device coupling.
+
+    Slot results match the unsharded batch to f32 tolerance (shard_map
+    changes XLA's fusion of the vmapped LM internals — same drift class as
+    `sharded_cluster_als`'s downstream poses); tracklet structure is
+    unaffected because association happens before the solve.  Certified by
+    dryrun stage 6 and tests/test_sharded_ik.py on the virtual CPU mesh.
+    """
+    from multiview_motion_capture_tpu.ops import ik as ik_ops
+
+    T = view_w.shape[0]
+    n_shard = mesh.shape[axis]
+    assert T % n_shard == 0, (
+        f"max_tracks={T} not divisible by mesh axis {axis}={n_shard}")
+    p_spec = P(axis) if Pmats.ndim == 4 else P()
+
+    def local(init_l, obs_l, w_l, P_l):
+        return ik_ops.solve_two_stage(init_l, skel, obs_l, w_l, P_l,
+                                      **solve_kw)
+
+    # check_vma off for the same reason as sharded_cluster_als: the LM
+    # while-loop carries (lam, active, it) seeded from literals, which the
+    # varying-axes tracker types as replicated while the body makes them
+    # varying; the computation is device-local, nothing to verify.
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), p_spec),
+        out_specs=P(axis),
+        check_vma=False,
+    )(init, obs_coco, view_w, Pmats)

@@ -156,11 +156,17 @@ class TrackerContext:
     # multi-chip decomposition of ONE rig's solver stage
     cluster_mesh: object = None
     cluster_mesh_axis: str = "cl"
+    # optional mesh over the TRACK-SLOT axis: the T independent per-track LM
+    # solves shard_map to devices (parallel.sharded_solvers.sharded_lm_solve)
+    # — the second half of the one-rig solver decomposition
+    ik_mesh: object = None
+    ik_mesh_axis: str = "tk"
 
     @classmethod
     def build(cls, cams: CameraBank, cfg: PipelineConfig, use_ik: bool = True,
               mesh=None, mesh_axis: str = "dp", cluster_mesh=None,
-              cluster_mesh_axis: str = "cl") -> "TrackerContext":
+              cluster_mesh_axis: str = "cl", ik_mesh=None,
+              ik_mesh_axis: str = "tk") -> "TrackerContext":
         K = np.asarray(cams.K, dtype=np.float64)
         Rt = np.asarray(cams.Rt, dtype=np.float64)
         P = np.asarray(cams.P, dtype=np.float64)
@@ -220,6 +226,15 @@ class TrackerContext:
                     f"assoc_clusters={cfg.assoc_clusters} not divisible by "
                     f"cluster mesh axis {cluster_mesh_axis}={n_cl}"
                 )
+        if ik_mesh is not None:
+            if not use_ik:
+                raise ValueError("ik_mesh needs use_ik=True")
+            n_tk = ik_mesh.shape[ik_mesh_axis]
+            if cfg.max_tracks % n_tk != 0:
+                raise ValueError(
+                    f"max_tracks={cfg.max_tracks} not divisible by ik mesh "
+                    f"axis {ik_mesh_axis}={n_tk}"
+                )
         return cls(
             cfg=cfg,
             cams=cams,
@@ -239,6 +254,8 @@ class TrackerContext:
             cluster_pallas_ctx=cluster_pallas_ctx,
             cluster_mesh=cluster_mesh,
             cluster_mesh_axis=cluster_mesh_axis,
+            ik_mesh=ik_mesh,
+            ik_mesh_axis=ik_mesh_axis,
         )
 
 
@@ -986,9 +1003,24 @@ def make_step(ctx: TrackerContext):
             any_update = jnp.any(update_mask)
             any_spawn = jnp.any(spawned)
 
+            if ctx.ik_mesh is not None:
+                # track slots -> devices (parallel.sharded_solvers): each
+                # device LM-solves its T/n slots locally, zero collectives
+                import functools
+
+                from multiview_motion_capture_tpu.parallel.sharded_solvers import (
+                    sharded_lm_solve,
+                )
+
+                solve_fn = functools.partial(
+                    sharded_lm_solve, mesh=ctx.ik_mesh, axis=ctx.ik_mesh_axis
+                )
+            else:
+                solve_fn = ik_ops.solve_two_stage
+
             def run_warm(_):
                 init = ik_ops.IkParams(state.root, state.euler, state.side_lens)
-                return ik_ops.solve_two_stage(
+                return solve_fn(
                     init, skel, upd_obs_ik, upd_w_ik, P_upd,
                     n_iters=cfg.ik_warm_iters, eps=cfg.ik_proj_eps,
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
@@ -1014,7 +1046,7 @@ def make_step(ctx: TrackerContext):
                     euler=cold_euler,
                     side_lens=jnp.broadcast_to(skel.side_bone_lens, (T, 11)),
                 )
-                return ik_ops.solve_two_stage(
+                return solve_fn(
                     init, skel, new_obs_ik, new_w_ik, P_new,
                     n_iters=cfg.ik_cold_iters, eps=cfg.ik_proj_eps,
                     lam0=cfg.ik_lm_damping_init, lam_up=cfg.ik_lm_damping_up,
