@@ -30,9 +30,12 @@ def _add_common(p):
                    help="drop output tracklets shorter than this (and "
                         "never-finite degenerate ghosts); 1 = keep all "
                         "(reference-parity fragments)")
-    p.add_argument("--preset", default="parity",
-                   choices=("parity", "fast", "crowded", "wide"),
-                   help="config preset: parity (reference-faithful default), "
+    p.add_argument("--preset", default="default",
+                   choices=("default", "parity", "fast", "crowded", "wide"),
+                   help="config preset: default (recommended: includes the "
+                        "documented track-rescue deviation, docs/PARITY.md), "
+                        "parity (STRICT reference lifecycle — rescue off, "
+                        "the config the oracle parity study pins), "
                         "fast (ALS early-exit throughput), crowded "
                         "(identity-first, rescue off), wide (16+-camera "
                         "rigs: merged cold IK, warm budget 3, 16-view cap)")
@@ -47,7 +50,9 @@ def _config(args, n_views):
         max_tracks=args.max_tracks,
         min_track_length=getattr(args, "min_track_len", 1),
     )
-    preset = getattr(args, "preset", "parity")
+    preset = getattr(args, "preset", "default")
+    if preset == "parity":
+        return PipelineConfig.parity(n_views=n_views, **common)
     if preset == "fast":
         return PipelineConfig.fast(n_views=n_views, **common)
     if preset == "crowded":

@@ -44,13 +44,19 @@ from multiview_motion_capture_tpu.ops import association as assoc
 Array = jnp.ndarray
 
 
-def make_cluster_mesh(n_devices: Optional[int] = None,
-                      axis_name: str = "cl") -> Mesh:
-    """A 1-axis mesh over the cluster dimension."""
+def make_axis_mesh(n_devices: Optional[int] = None,
+                   axis_name: str = "x") -> Mesh:
+    """A 1-axis mesh over the first `n_devices` devices (all by default)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), axis_names=(axis_name,))
+
+
+def make_cluster_mesh(n_devices: Optional[int] = None,
+                      axis_name: str = "cl") -> Mesh:
+    """A 1-axis mesh over the cluster dimension (for `sharded_cluster_als`)."""
+    return make_axis_mesh(n_devices, axis_name)
 
 
 def sharded_cluster_als(
@@ -74,8 +80,12 @@ def sharded_cluster_als(
     """
     C = subs.shape[0]
     n_shard = mesh.shape[axis]
-    assert C % n_shard == 0, (
-        f"assoc_clusters={C} not divisible by mesh axis {axis}={n_shard}")
+    if C % n_shard != 0:
+        # ValueError, not assert: survives `python -O`, and direct callers
+        # (outside TrackerContext.build, which raises the same way) get a
+        # clear message instead of an opaque shard_map shape error.
+        raise ValueError(
+            f"assoc_clusters={C} not divisible by mesh axis {axis}={n_shard}")
 
     def local(sub_local, diag_mask, init_A):
         # sub_local: (C/n, nc, nc); mask/init replicated.  lax.map, NOT
@@ -111,10 +121,7 @@ def sharded_cluster_als(
 def make_track_mesh(n_devices: Optional[int] = None,
                     axis_name: str = "tk") -> Mesh:
     """A 1-axis mesh over the track-slot dimension (for `sharded_lm_solve`)."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.asarray(devs), axis_names=(axis_name,))
+    return make_axis_mesh(n_devices, axis_name)
 
 
 def sharded_lm_solve(
@@ -152,8 +159,11 @@ def sharded_lm_solve(
 
     T = view_w.shape[0]
     n_shard = mesh.shape[axis]
-    assert T % n_shard == 0, (
-        f"max_tracks={T} not divisible by mesh axis {axis}={n_shard}")
+    if T % n_shard != 0:
+        # ValueError (not assert) so the check survives `python -O` and
+        # direct public-API use, mirroring TrackerContext.build's message.
+        raise ValueError(
+            f"max_tracks={T} not divisible by mesh axis {axis}={n_shard}")
     p_spec = P(axis) if Pmats.ndim == 4 else P()
 
     def local(init_l, obs_l, w_l, P_l):

@@ -70,9 +70,9 @@ def matched_mpjpe(ours, oracle):
 
 def main():
     # strict reference lifecycle (no track rescue): this study compares
-    # against the oracle, which implements the reference's raw semantics
-    cfg = PipelineConfig(max_frames=N_FRAMES, track_rescue_px=0.0,
-                         track_rescue_single_px=None)
+    # against the oracle, which implements the reference's raw semantics.
+    # Same config as the CLI `--preset parity` (pinned by tests/test_cli.py).
+    cfg = PipelineConfig.parity(max_frames=N_FRAMES)
     batch = load_openpose_dir(Path("/root/reference/data/shelf/kps_opn"), cfg)
     batch = filter_bad_poses(batch, cfg)
     cams = CameraBank.from_json_dir(Path("/root/reference/data/shelf/calibs"))

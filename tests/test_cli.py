@@ -14,12 +14,12 @@ from multiview_motion_capture_tpu.__main__ import _config
 
 def _args(**kw):
     base = dict(max_frames=300, max_people=10, max_tracks=16,
-                min_track_len=1, preset="parity")
+                min_track_len=1, preset="default")
     base.update(kw)
     return argparse.Namespace(**base)
 
 
-def test_config_parity_default():
+def test_config_default_preset():
     cfg = _config(_args(), n_views=5)
     assert cfg.n_views == 5
     assert cfg.max_frames == 300
@@ -29,6 +29,22 @@ def test_config_parity_default():
     # parity schedule: staged cold warmup, full stable-iters budget
     assert cfg.ik_cold_stages == 2
     assert cfg.als_stable_iters == 15
+    # the default DOES carry the documented rescue deviation
+    assert cfg.track_rescue_px > 0
+
+
+def test_config_preset_parity_is_parity():
+    """VERDICT r4 weak #2: `--preset parity` must give STRICT reference
+    lifecycle semantics — exactly the config the oracle parity study pins
+    (scripts/parity_study.py: track_rescue_px=0, track_rescue_single_px
+    None), not the rescue deviation."""
+    cfg = _config(_args(preset="parity"), n_views=5)
+    assert cfg.track_rescue_px == 0.0
+    assert cfg.track_rescue_single_px is None
+    # everything else matches the defaults the oracle run uses
+    assert cfg.ik_cold_stages == 2
+    assert cfg.als_stable_iters == 15
+    assert cfg.n_init_hits == 3 and cfg.max_age == 0
 
 
 def test_config_preset_fast():
