@@ -36,10 +36,14 @@ Array = jnp.ndarray
 class SampleSet:
     images: np.ndarray    # (N, H, W, 3) f32
     kps_px: np.ndarray    # (N, P, 17, 2) frame px (NaN for absent)
-    present: np.ndarray   # (N, P) bool
+    present: np.ndarray   # (N, P) bool (supervision presence; with
+                          # visibility_aware this excludes fully-occluded
+                          # people — the physical detection limit)
     heat_tgt: np.ndarray  # (N, hh, hw, K+1) keypoint + center targets
     off_tgt: np.ndarray   # (N, hh, hw, 2K)
     off_mask: np.ndarray  # (N, hh, hw, K)
+    vis: np.ndarray = None  # (N, P, 17) bool per-joint occlusion ground
+                            # truth from the renderer's owner map
 
 
 def _cam_locations(cams) -> np.ndarray:
@@ -59,6 +63,9 @@ def generate_samples(
     heat_sigma: float = 2.0,
     center_sigma: float = 1.5,
     world_scale: float = 0.25,
+    min_person_distance: float = 0.9,
+    visibility_aware: bool = False,
+    min_visible_joints: int = 5,
 ) -> SampleSet:
     """Render (frame, view) samples from 3D-consistent synthetic scenes.
 
@@ -67,18 +74,29 @@ def generate_samples(
     camera distance), a per-sample zoom varies apparent scale beyond the
     natural camera-distance variation, and all randomization comes from the
     scene seed — held-out seeds give a clean eval set.
+
+    `visibility_aware=True` is the dense-crowd curriculum switch (VERDICT r4
+    next #1): supervision follows the renderer's occlusion ground truth —
+    painted-over joints are excluded from the heatmap/offset targets (firing
+    there would be hallucination) and a person whose visible-joint count
+    drops below `min_visible_joints` is excluded entirely (center target 0:
+    a fully occluded person is physically undetectable from this view, and
+    supervising an unreachable center teaches noise).  `present` then means
+    "detectable", which is also what crowd recall must be measured against.
+    The default (False) reproduces the r3/r4 supervision bit-exactly
+    (`vis` is still returned for diagnostics — the renderer's rng draws are
+    identical either way).
     """
     H, W = render_cfg.hw
     hh, hw = H // 4, W // 4
-    imgs, all_kps, all_pres = [], [], []
-    heat_t, off_t, off_m = [], [], []
+    imgs, all_kps, all_pres, all_vis = [], [], [], []
     for seed in seeds:
         rng = np.random.RandomState(seed)
         n_people = int(rng.randint(n_people_range[0], n_people_range[1] + 1))
         seq = synthetic_sequence(
             n_frames=n_frames, n_people=n_people, n_views=n_views,
             noise_px=0.0, drop_prob=0.0, seed=seed,
-            min_person_distance=0.9,
+            min_person_distance=min_person_distance,
         )
         cam_loc = _cam_locations(seq.cameras)
         kseq = seq.batch.kps[..., :2] * world_scale  # full-res px -> render px
@@ -102,19 +120,26 @@ def generate_samples(
                     if slot_p[s] >= 0 else 1e9
                     for s in range(len(pres))
                 ])
-                img = render_scene(kv, pres, depth, rng, render_cfg)
+                img, vis = render_scene(kv, pres, depth, rng, render_cfg,
+                                        return_visibility=True)
                 kp_pad = np.full((max_people, 17, 2), np.nan, np.float32)
                 pr_pad = np.zeros(max_people, bool)
+                vis_pad = np.zeros((max_people, 17), bool)
                 n = min(max_people, len(pres))
                 kp_pad[:n] = kv[:n]
                 pr_pad[:n] = pres[:n]
+                vis_pad[:n] = vis[:n]
                 imgs.append(img)
                 all_kps.append(kp_pad)
                 all_pres.append(pr_pad)
+                all_vis.append(vis_pad)
 
     images = np.stack(imgs)
     kps_px = np.stack(all_kps)
     present = np.stack(all_pres)
+    vis_arr = np.stack(all_vis)
+    if visibility_aware:
+        present = present & (vis_arr.sum(axis=-1) >= min_visible_joints)
 
     # supervision at heatmap resolution, in bounded chunks: the heatmap
     # renderers materialize (B, hh, hw, P*K)-sized intermediates — at
@@ -123,6 +148,13 @@ def generate_samples(
     khm = np.nan_to_num(kps_px) / 4.0
     pres_f = present.astype(np.float32)
     N, P = present.shape
+    if visibility_aware:
+        # per-joint supervision weight: a painted-over joint contributes no
+        # heatmap gaussian and no offset target
+        joint_w = (vis_arr & present[..., None]).astype(np.float32)
+    else:
+        joint_w = np.broadcast_to(pres_f[:, :, None], (N, P, 17)).astype(
+            np.float32).copy()
     heat_out = np.zeros((N, hh, hw, 18), dtype=np.float32)
     off_out = np.zeros((N, hh, hw, 34), dtype=np.float32)
     om_out = np.zeros((N, hh, hw, 17), dtype=np.float32)
@@ -132,18 +164,15 @@ def generate_samples(
             jnp.asarray(khm[s:e].reshape(e - s, P * 17, 2)), (hh, hw),
             sigma=heat_sigma,
         )).reshape(e - s, hh, hw, P, 17)
-        kt = (g * pres_f[s:e, None, None, :, None]).max(axis=3)
+        kt = (g * joint_w[s:e, None, None]).max(axis=3)
         centers = khm[s:e].mean(axis=2)
         ct = np.asarray(center_targets(
             jnp.asarray(centers), jnp.asarray(pres_f[s:e]), (hh, hw),
             sigma=center_sigma,
         ))
-        kp_mask = np.broadcast_to(
-            pres_f[s:e, :, None], (e - s, P, 17)
-        ).astype(np.float32)
         ot, om = offset_targets(
             jnp.asarray(centers), jnp.asarray(khm[s:e]),
-            jnp.asarray(present[s:e]), jnp.asarray(kp_mask), (hh, hw),
+            jnp.asarray(present[s:e]), jnp.asarray(joint_w[s:e]), (hh, hw),
             radius=2.0,
         )
         heat_out[s:e] = np.concatenate([kt, ct[..., None]], axis=-1)
@@ -156,6 +185,7 @@ def generate_samples(
         heat_tgt=heat_out,
         off_tgt=off_out,
         off_mask=om_out,
+        vis=vis_arr,
     )
 
 

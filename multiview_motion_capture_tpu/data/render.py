@@ -152,9 +152,18 @@ def render_scene(
     cfg: RenderConfig,
     person_tints: Optional[np.ndarray] = None,   # (P, 3) stable per-person
                                                  # color multipliers
+    return_visibility: bool = False,
 ) -> np.ndarray:
     """Full randomized frame: background + distractors + depth-ordered
-    people (nearer occludes farther).  Returns (H, W, 3) f32 in [0, 1]."""
+    people (nearer occludes farther).  Returns (H, W, 3) f32 in [0, 1].
+
+    `return_visibility=True` additionally returns a (P, 17) bool array:
+    joint k of person p is VISIBLE iff, after the full depth-ordered paint,
+    person p still owns a solid pixel in the 3x3 neighborhood of that
+    joint.  This is the occlusion ground truth dense-crowd training needs
+    (supervising heatmaps/offsets at painted-over joints teaches the net to
+    hallucinate, and fully occluded people are a PHYSICAL detection limit
+    that recall metrics must account for — VERDICT r4 next #1)."""
     H, W = cfg.hw
     img = np.zeros((H, W, 3), dtype=np.float32)
     if cfg.bg_gradient:
@@ -180,6 +189,7 @@ def render_scene(
         img = img * (1 - seg[..., None]) + col * seg[..., None]
 
     order = np.argsort(-(depth if depth is not None else np.zeros(len(kps_xy))))
+    owner = np.full((H, W), -1, dtype=np.int16) if return_visibility else None
     for p in order:  # far -> near: nearer painted later occludes
         if not present[p]:
             continue
@@ -190,8 +200,27 @@ def render_scene(
         alpha, rgb = render_person(kps_xy[p], cfg.hw, rng, cfg, scale=scale,
                                    tint=tint)
         img = img * (1 - alpha[..., None]) + rgb * alpha[..., None]
+        if owner is not None:
+            owner[alpha > 0.5] = p  # later (nearer) paint overwrites
 
     img *= rng.uniform(*cfg.brightness_range)
     if cfg.noise_std > 0:
         img += rng.normal(0, cfg.noise_std, size=img.shape)
-    return np.clip(img, 0.0, 1.0).astype(np.float32)
+    img = np.clip(img, 0.0, 1.0).astype(np.float32)
+    if not return_visibility:
+        return img
+    P, K = kps_xy.shape[:2]
+    vis = np.zeros((P, K), dtype=bool)
+    for p in range(P):
+        if not present[p]:
+            continue
+        for k in range(K):
+            x, y = kps_xy[p, k]
+            if not (np.isfinite(x) and np.isfinite(y)):
+                continue
+            xi, yi = int(round(x)), int(round(y))
+            y0, y1 = max(0, yi - 1), min(H, yi + 2)
+            x0, x1 = max(0, xi - 1), min(W, xi + 2)
+            if y0 < y1 and x0 < x1:
+                vis[p, k] = bool((owner[y0:y1, x0:x1] == p).any())
+    return img, vis
