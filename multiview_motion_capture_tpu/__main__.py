@@ -82,6 +82,19 @@ def main(argv=None) -> int:
     p_run.add_argument("--reid", action="store_true",
                        help="offline re-identification merge of tracklet "
                             "fragments (bone-length + trajectory evidence)")
+    p_run.add_argument("--crossings", action="store_true",
+                       help="hindsight crossing repair: cut every track at "
+                            "its appearance identity change-points (2-means "
+                            "label transitions) and reassemble the pure "
+                            "pieces with the re-ID merge (implied); crossing "
+                            "events without appearance are adjudicated by "
+                            "bone/velocity tail swaps")
+    p_run.add_argument("--mesh", default=None, metavar="SPEC",
+                       help="multi-chip sharding of the tracker stages, "
+                            "e.g. cameras=4,clusters=8,tracks=8 (any "
+                            "subset); shards the similarity assembly / "
+                            "per-cluster ALS solves / per-slot IK solves "
+                            "over the visible device mesh")
     p_run.add_argument("--debug_dump", default=None, metavar="DIR",
                        help="per-frame association diagnostics: similarity "
                             "matrix csv/npz, ALS X + |X-0.5| margins, group "
@@ -118,6 +131,10 @@ def main(argv=None) -> int:
                             "also emits keypoint-color-layout embeddings "
                             "and the tracker uses them to disambiguate "
                             "crossings (bottom-up checkpoint only)")
+    p_det.add_argument("--crossings", action="store_true",
+                       help="hindsight crossing resolution post-pass "
+                            "(see run --crossings); most effective with "
+                            "--appearance")
     p_det.add_argument("--appearance_head", default="auto",
                        metavar="PATH|auto|none",
                        help="metric-learned embedding head refining the "
@@ -175,7 +192,8 @@ def main(argv=None) -> int:
         else:
             parser.error("run needs --kps_dir or --frames_npz")
         res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik,
-                           reid=args.reid)
+                           reid=args.reid, crossings=args.crossings,
+                           mesh_spec=args.mesh)
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)
@@ -288,6 +306,7 @@ def main(argv=None) -> int:
         if mcfg.predict_offsets:
             # single-pass bottom-up (the shipped checkpoint's architecture)
             detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people,
+                                             center_nms_window=cfg.detect_nms_window,
                                              return_appearance=use_app,
                                              appearance_head=head)
         else:
@@ -314,7 +333,8 @@ def main(argv=None) -> int:
         else:
             batch = frames_to_frame_batch(detect, params, images, cfg)
         detect_s = time.perf_counter() - t0
-        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik, app=app)
+        res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik, app=app,
+                           crossings=args.crossings)
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)

@@ -19,6 +19,15 @@ class PipelineConfig:
     n_kps: int = 17             # COCO detections
     dtype: str = "float32"
 
+    # ---- in-loop detection (CLI `detect`; no reference analogue — the
+    # reference shells out to OpenPose, run_openpose.sh:10) -----------------
+    # center-peak NMS window (heatmap px) for the bottom-up decode.  5 is
+    # right for sparse scenes; packed crowds put 21-24% of GT center pairs
+    # under 3 heatmap px, where a 5-window suppresses real people — the
+    # crowd study measured recall 0.838 -> 0.882 (10 packed people) and
+    # 0.891 -> 0.938 (8) going 5 -> 3 at equal precision (docs/PERF.md r5).
+    detect_nms_window: int = 5
+
     # ---- detection filtering (ref:src/motion_capture.py:1023-1043,1091) ----
     filter_min_kps_score: float = 0.01  # a keypoint is valid above this score
     filter_min_valid_kps: int = 4       # poses need at least this many valid kps
@@ -141,9 +150,27 @@ class PipelineConfig:
     # warm-up (stat weight < 0.5, ~7 matched frames at beta 0.1) the static
     # gain applies.  The gain consumed at frame f uses stats through f-1.
     appearance_auto_target_px: float = 0.0
+    # noise cap on the auto gain: gain * EMA-std(matched cosine) stays
+    # below this many px (r5).  The per-extractor hand-tuned gains were
+    # really encoding THIS quantity — the raw color-layout descriptor's
+    # tuned 60 is 3 px / sigma 0.046 almost exactly (docs/PERF.md r5
+    # auto-gain study); the discrimination target alone over-drives noisy
+    # extractors (raw at target 8 -> gain 99).  <= 0 disables the cap.
+    appearance_auto_noise_px: float = 3.0
     appearance_auto_beta: float = 0.10     # EMA factor for the cosine stats
     appearance_auto_max_px: float = 200.0  # gain clamp (tiny-gap blowup)
     appearance_auto_min_gap: float = 0.02  # below this: no signal -> gain 0
+    # > 0 FREEZES a track's appearance EMA while any other live track's root
+    # is within this many meters (r5, VERDICT r4 next #2).  Rationale: the
+    # measured crowd switch structure is OSCILLATION — two people walking
+    # together for tens of frames while one track ping-pongs between their
+    # detections (10x10 study: 43 of 69 in-tracklet identity changes are
+    # <5-frame flickers inside such stretches).  The per-update EMA then
+    # blends both identities and stops discriminating exactly when the
+    # appearance penalty is needed; holding the last unambiguous signature
+    # through the encounter keeps the penalty pointed at the right person.
+    # Spawns still initialize from their own detections.  0 disables.
+    appearance_freeze_radius_m: float = 0.0
 
     # ---- crowd-density preset safety (new; no reference analogue) ----------
     # pipeline.run warns when the mean number of concurrently CONFIRMED
@@ -306,8 +333,14 @@ class PipelineConfig:
         fragments) but fragments are MERGEABLE by re-ID; impure fragments
         are not.  Use the defaults for sparse scenes (Shelf: rescue closes
         36-vs-23 oracle fragmentation to 27 with no identity cost).
+
+        Also tightens the bottom-up decode's center NMS window to 3 heatmap
+        px (`detect_nms_window`): packed crowds put 21-24% of GT center
+        pairs under 3 heatmap px, where the sparse-scene 5-window
+        suppresses real people (crowd recall 0.838 -> 0.882 at 10 packed,
+        docs/PERF.md r5).
         """
-        base = dict(track_rescue_px=0.0)
+        base = dict(track_rescue_px=0.0, detect_nms_window=3)
         base.update(overrides)
         return cls(**base)
 

@@ -115,6 +115,9 @@ def run(
     reid: bool = False,
     reid_cfg=None,
     app: Optional[np.ndarray] = None,
+    crossings: bool = False,
+    crossings_cfg=None,
+    mesh_spec=None,
 ) -> RunResult:
     """run mode: filter detections, track + solve the whole sequence.
 
@@ -126,6 +129,12 @@ def run(
     (reid.merge_tracklets): fragments killed by the reference's `max_age=0`
     lifecycle are re-joined by bone-length + trajectory identity evidence.
     Off by default so parity runs reproduce the reference's fragmentation.
+
+    `mesh_spec` (a `parallel.mesh.MeshSpec` or its string form, e.g.
+    ``"cameras=4,clusters=8,tracks=8"``) shards the tracker's stages over
+    the visible device mesh — camera-sharded similarity, cluster-sharded
+    ALS, track-sharded LM IK, composable in one context (multi-chip path;
+    certified on the virtual mesh by `__graft_entry__.dryrun_multichip`).
 
     With `checkpoint_dir`, the scan runs in `checkpoint_every`-frame chunks,
     persisting tracker state + emissions after each; an interrupted run
@@ -140,7 +149,16 @@ def run(
     depth was the bottleneck) stopped being true once the scan hit 500+ fps.
     """
     def _post(tracklets: List[Tracklet]) -> List[Tracklet]:
-        if reid:
+        if crossings:
+            # hindsight crossing repair BEFORE the fragment merge: the cut
+            # stage needs the raw contiguous tracklets, and its output is
+            # identity-pure PIECES that only become useful once the
+            # appearance-aware merge reassembles them — so crossings
+            # IMPLIES the reid merge (docs/PERF.md r5 cuts-beat-swaps)
+            from multiview_motion_capture_tpu.crossings import resolve_crossings
+
+            tracklets = resolve_crossings(tracklets, crossings_cfg)
+        if reid or crossings:
             from multiview_motion_capture_tpu.reid import merge_tracklets
 
             tracklets = merge_tracklets(tracklets, reid_cfg)
@@ -170,8 +188,16 @@ def run(
     else:
         app_arr = None
 
+    mesh_kwargs = {}
+    if mesh_spec is not None:
+        from multiview_motion_capture_tpu.parallel.mesh import MeshSpec
+
+        if isinstance(mesh_spec, str):
+            mesh_spec = MeshSpec.parse(mesh_spec)
+        mesh_kwargs = mesh_spec.context_kwargs()
+
     with timer.stage("build_context"):
-        ctx = TrackerContext.build(cams, cfg, use_ik=use_ik)
+        ctx = TrackerContext.build(cams, cfg, use_ik=use_ik, **mesh_kwargs)
 
     if checkpoint_dir is not None:
         from multiview_motion_capture_tpu.utils import checkpoint as ckpt
@@ -279,6 +305,7 @@ def save_tracklets(path: Path, tracklets: List[Tracklet]) -> None:
                 "poses_3d": t.poses_3d,
                 "poses_score": t.poses_score,
                 "matched_pose": t.matched_pose,
+                "app": t.app,
                 "kps_format": "BASIC_18",
             }
             for t in tracklets
@@ -303,6 +330,7 @@ def load_tracklets(path: Path) -> List[Tracklet]:
                 poses_3d=d["poses_3d"],
                 poses_score=d["poses_score"],
                 matched_pose=d["matched_pose"],
+                app=d.get("app"),  # absent in pre-r5 pickles
             )
         )
     return out

@@ -80,7 +80,8 @@ class TrackerState:
                          # for crossing disambiguation, measured in r3)
     app_ema: Array       # (T, cfg.appearance_dim) EMA appearance embedding
                          # per track (zero-width when appearance is off)
-    app_stats: Array     # (3,) online gain-calibration stats
+    app_stats: Array     # (4,) online gain-calibration stats: EMA cos_same,
+                         # EMA cos_diff, stat weight, EMA var(cos_same)
                          # [EMA cos(track, matched det), EMA cos(track,
                          # non-matched det), EMA weight in [0, 1]]; all zero
                          # until cfg.appearance_auto_target_px > 0 collects
@@ -101,7 +102,7 @@ class TrackerState:
             pose3d_score=jnp.zeros((T, 18)),
             root_vel=jnp.zeros((T, 3)),
             app_ema=jnp.zeros((T, cfg.appearance_dim)),
-            app_stats=jnp.zeros(3),
+            app_stats=jnp.zeros(4),
             next_track_id=jnp.asarray(0, jnp.int32),
         )
 
@@ -120,6 +121,13 @@ class FrameOutput(NamedTuple):
     pose3d: Array        # (T, 18, 3)
     pose3d_score: Array  # (T, 18)
     matched_pose: Array  # (T, V) int32 matched detection slot per view (-1)
+    app_obs: Array       # (T, appearance_dim) THIS frame's matched-detection
+                         # mean appearance per slot (unit rows; zero when the
+                         # slot was untouched / had no embedded detections;
+                         # zero-width when appearance is off).  Unlike
+                         # state.app_ema this carries no temporal smoothing,
+                         # so offline passes can aggregate it over their own
+                         # windows (crossings.resolve_crossings)
     als_iters: Array     # () int32
 
 
@@ -317,12 +325,23 @@ def _appearance_gain(cfg: PipelineConfig, state: TrackerState):
     unchanged) or a scalar traced value (auto on)."""
     if cfg.appearance_auto_target_px <= 0:
         return cfg.appearance_gain_px
-    cs, cd, w = state.app_stats[0], state.app_stats[1], state.app_stats[2]
+    cs, cd, w, vs = (state.app_stats[0], state.app_stats[1],
+                     state.app_stats[2], state.app_stats[3])
     gap = cs - cd
-    auto = jnp.clip(
-        cfg.appearance_auto_target_px
-        / jnp.maximum(gap, cfg.appearance_auto_min_gap),
-        0.0, cfg.appearance_auto_max_px)
+    # two constraints (r5, docs/PERF.md auto-gain study):
+    #   discrimination target: gain * gap       <= target_px  (per swap)
+    #   noise cap:             gain * std(same) <= noise_px
+    # the noise cap is what the hand-tuned per-extractor gains were really
+    # encoding — the raw color-layout descriptor's tuned 60 is 3 px /
+    # sigma 0.046 almost exactly; when the two conflict the noise cap wins
+    # (weak evidence must not shout)
+    auto = cfg.appearance_auto_target_px / jnp.maximum(
+        gap, cfg.appearance_auto_min_gap)
+    if cfg.appearance_auto_noise_px > 0:
+        sd = jnp.sqrt(jnp.maximum(vs, 1e-12))
+        auto = jnp.minimum(auto, cfg.appearance_auto_noise_px
+                           / jnp.maximum(sd, 1e-6))
+    auto = jnp.clip(auto, 0.0, cfg.appearance_auto_max_px)
     auto = jnp.where(gap >= cfg.appearance_auto_min_gap, auto, 0.0)
     return jnp.where(w >= 0.5, auto, cfg.appearance_gain_px)
 
@@ -1142,12 +1161,33 @@ def make_step(ctx: TrackerContext):
             cand_app = jnp.where(spawned[:, None], mean_app, blended)
             cand_app = cand_app / jnp.maximum(
                 jnp.linalg.norm(cand_app, axis=-1, keepdims=True), 1e-6)
-            touched_app = (update_mask | spawned) & has_obs_app
+            upd_app = update_mask
+            if cfg.appearance_freeze_radius_m > 0:
+                # ambiguity freeze (cfg.appearance_freeze_radius_m): while
+                # another live track is close, the EMA keeps the last
+                # unambiguous signature instead of blending in detections
+                # the association itself may be misattributing
+                alive_now = (active_after_miss > 0) | spawned
+                dd = jnp.linalg.norm(
+                    new_root[:, None] - new_root[None], axis=-1)
+                other = (alive_now[:, None] & alive_now[None]
+                         & ~jnp.eye(T, dtype=bool))
+                near = jnp.where(other, dd, jnp.inf).min(axis=1)
+                upd_app = update_mask & (
+                    near >= cfg.appearance_freeze_radius_m)
+            touched_app = (upd_app | spawned) & has_obs_app
             new_app = jnp.where(touched_app[:, None], cand_app,
                                 jnp.where(spawned[:, None], 0.0,
                                           state.app_ema))
+            # raw per-frame observation (no EMA, no freeze) for offline
+            # hindsight passes — they window/aggregate it themselves
+            obs_unit = mean_app / jnp.maximum(
+                jnp.linalg.norm(mean_app, axis=-1, keepdims=True), 1e-6)
+            emit_app = (update_mask | spawned) & has_obs_app
+            app_obs_out = jnp.where(emit_app[:, None], obs_unit, 0.0)
         else:
             new_app = state.app_ema
+            app_obs_out = jnp.zeros((T, 0), dtype=state.root.dtype)
 
         # 7d. online gain-calibration stats (cfg.appearance_auto_target_px):
         # fold this frame's matched (same-person) and claimed-by-another-
@@ -1179,10 +1219,16 @@ def make_step(ctx: TrackerContext):
             n_d = diff_m.sum()
             mean_s = jnp.where(same_m, cosall, 0.0).sum() / jnp.maximum(n_s, 1)
             mean_d = jnp.where(diff_m, cosall, 0.0).sum() / jnp.maximum(n_d, 1)
-            cs, cd, w = (state.app_stats[0], state.app_stats[1],
-                         state.app_stats[2])
+            cs, cd, w, vs = (state.app_stats[0], state.app_stats[1],
+                             state.app_stats[2], state.app_stats[3])
             b_s = cfg.appearance_auto_beta
             have_both = (n_s > 0) & (n_d > 0)
+            # per-frame matched-cosine variance around the running mean:
+            # the appearance NOISE the penalty amplifies (the noise-bounded
+            # half of the auto-gain rule, _appearance_gain)
+            ref_s = jnp.where(w > 0, cs, mean_s)
+            var_s = (jnp.where(same_m, (cosall - ref_s) ** 2, 0.0).sum()
+                     / jnp.maximum(n_s, 1))
             # the first contributing frame SETS the stats (w == 0); later
             # ones EMA-fold; w ramps 0 -> 1 on contributing frames only
             new_cs = jnp.where(
@@ -1191,8 +1237,11 @@ def make_step(ctx: TrackerContext):
             new_cd = jnp.where(
                 have_both,
                 jnp.where(w > 0, (1 - b_s) * cd + b_s * mean_d, mean_d), cd)
+            new_vs = jnp.where(
+                have_both,
+                jnp.where(w > 0, (1 - b_s) * vs + b_s * var_s, var_s), vs)
             new_w = jnp.where(have_both, (1.0 - b_s) * w + b_s, w)
-            new_app_stats = jnp.stack([new_cs, new_cd, new_w])
+            new_app_stats = jnp.stack([new_cs, new_cd, new_w, new_vs])
         else:
             new_app_stats = state.app_stats
 
@@ -1237,6 +1286,7 @@ def make_step(ctx: TrackerContext):
             pose3d=new_pose3d,
             pose3d_score=new_score,
             matched_pose=jnp.where(spawned[:, None], s_match, t_match).astype(jnp.int32),
+            app_obs=app_obs_out,
             als_iters=als.n_iters,
         )
         return new_state, out
@@ -1261,6 +1311,9 @@ class Tracklet:
     poses_3d: np.ndarray     # (L, 18, 3)
     poses_score: np.ndarray  # (L, 18)
     matched_pose: np.ndarray  # (L, V)
+    # per-frame matched-detection mean appearance (L, D); None when the run
+    # had appearance off.  Zero rows = frames with no embedded detections.
+    app: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.frame_idxs)
@@ -1404,6 +1457,7 @@ def _dummy_output(state: TrackerState, n_views: int) -> FrameOutput:
         pose3d=state.pose3d,
         pose3d_score=state.pose3d_score,
         matched_pose=jnp.full((T, n_views), -1, jnp.int32),
+        app_obs=jnp.zeros_like(state.app_ema),
         als_iters=jnp.asarray(0, jnp.int32),
     )
 
@@ -1490,6 +1544,8 @@ def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
     F, T = np.asarray(out.track_id).shape
     if frame_idxs is None:
         frame_idxs = list(range(F))
+    app_arr = np.asarray(out.app_obs)
+    has_app = app_arr.size and app_arr.shape[-1] > 0
     tracks = {}
     for f in range(F):
         for t in range(T):
@@ -1500,7 +1556,7 @@ def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
                 continue
             rec = tracks.setdefault(tid, {
                 "frames": [], "roots": [], "eulers": [], "sides": [],
-                "poses": [], "scores": [], "matched": [],
+                "poses": [], "scores": [], "matched": [], "app": [],
             })
             rec["frames"].append(frame_idxs[f])
             rec["roots"].append(np.asarray(out.root)[f, t])
@@ -1509,6 +1565,8 @@ def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
             rec["poses"].append(np.asarray(out.pose3d)[f, t])
             rec["scores"].append(np.asarray(out.pose3d_score)[f, t])
             rec["matched"].append(np.asarray(out.matched_pose)[f, t])
+            if has_app:
+                rec["app"].append(app_arr[f, t])
 
     tlets = [
         Tracklet(
@@ -1520,6 +1578,7 @@ def assemble_tracklets(out: FrameOutput, frame_idxs=None) -> List[Tracklet]:
             poses_3d=np.stack(rec["poses"]),
             poses_score=np.stack(rec["scores"]),
             matched_pose=np.stack(rec["matched"]),
+            app=np.stack(rec["app"]) if has_app else None,
         )
         for tid, rec in tracks.items()
     ]

@@ -57,6 +57,17 @@ if "--people" in sys.argv:
     N_PEOPLE = int(sys.argv[sys.argv.index("--people") + 1])
 N_VIEWS = 5
 N_FRAMES = 60
+if "--frames" in sys.argv:
+    N_FRAMES = int(sys.argv[sys.argv.index("--frames") + 1])
+# r5: the crowd-curriculum checkpoint + NMS 3 survive packed scenes
+# (docs/PERF.md r5 crowd study) — --dist 0.5 --nms 3 runs the packed-crowd
+# configuration the r4 caveat said was out of reach
+MIN_DIST = 1.2
+if "--dist" in sys.argv:
+    MIN_DIST = float(sys.argv[sys.argv.index("--dist") + 1])
+NMS = 5
+if "--nms" in sys.argv:
+    NMS = int(sys.argv[sys.argv.index("--nms") + 1])
 
 
 def main():
@@ -67,7 +78,7 @@ def main():
                          ik_solver="gj", track_rescue_px=0.0)
     seq = synthetic_sequence(n_frames=N_FRAMES, n_people=N_PEOPLE,
                              n_views=N_VIEWS, cfg=cfg, seed=1, noise_px=0.0,
-                             drop_prob=0.0, min_person_distance=1.2)
+                             drop_prob=0.0, min_person_distance=MIN_DIST)
     # distinct stable "clothing": hue-spread tints
     rng = np.random.RandomState(7)
     hues = np.linspace(0, 1, N_PEOPLE, endpoint=False)
@@ -90,6 +101,7 @@ def main():
         head = load_appearance_head(CKPT.parent / "appearance_head.npz")
     detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people,
                                      center_min_score=0.2,
+                                     center_nms_window=NMS,
                                      return_appearance=True,
                                      appearance_head=head)
     batch, app = frames_to_frame_batch(detect, params, images, cfg,
@@ -100,11 +112,12 @@ def main():
     # (identity_metrics scores matched_pose indices against these)
     det_slot_person, (same, diff) = _label_detections(seq, batch, app)
 
-    def score(appearance, **over):
+    def score(appearance, crossings=False, **over):
         c = (dataclasses.replace(cfg, appearance_dim=app.shape[-1], **over)
              if appearance else cfg)
         res = pipeline.run(batch, cams_small, c, use_ik=False,
-                           app=app if appearance else None)
+                           app=app if appearance else None,
+                           crossings=crossings)
         m_raw = identity_metrics(res.tracklets, det_slot_person)
         m_reid = identity_metrics(merge_tracklets(res.tracklets),
                                   det_slot_person)
@@ -130,6 +143,10 @@ def main():
         # land near the hand-tuned gain60 row without any extractor tuning
         "appearance_auto_target8": score(True,
                                          appearance_auto_target_px=8.0),
+        # r5 hindsight crossing repair (cuts + implied merge inside
+        # pipeline.run — the raw_* fields of this row are therefore already
+        # post-merge; reid_* re-merges, a near no-op)
+        "appearance_crossings": score(True, crossings=True),
     }
     print(json.dumps({"metric": "appearance_e2e_study", "extra": out},
                      indent=1))

@@ -173,6 +173,9 @@ def main():
     ckpt = Path(CKPT)
     if "--ckpt" in sys.argv:
         ckpt = Path(sys.argv[sys.argv.index("--ckpt") + 1])
+    nms = 5
+    if "--nms" in sys.argv:
+        nms = int(sys.argv[sys.argv.index("--nms") + 1])
     n_views = 5
     mcfg, params = load_posenet(ckpt)
     out = {}
@@ -190,7 +193,8 @@ def main():
         flat = images.reshape(-1, 192, 256, 3)
 
         detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people,
-                                         center_min_score=0.2)
+                                         center_min_score=0.2,
+                                         center_nms_window=nms)
         kps_l, ctr_l, val_l = [], [], []
         for f in range(n_frames):
             k, c, v = detect(params, jnp.asarray(images[f]))

@@ -27,7 +27,8 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
                  bone_jitter_std=0.0, compare_bone_gate=False,
                  appearance_dim=0, appearance_noise=0.25,
                  appearance_gain_px=None, appearance_shared_frac=0.0,
-                 appearance_auto_target_px=None):
+                 appearance_auto_target_px=None, crossings=False,
+                 **cfg_overrides):
     import jax.numpy as jnp
 
     from multiview_motion_capture_tpu.config import PipelineConfig
@@ -56,6 +57,7 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
            else {"appearance_gain_px": appearance_gain_px}),
         **({} if appearance_auto_target_px is None
            else {"appearance_auto_target_px": appearance_auto_target_px}),
+        **cfg_overrides,
     )
     seq = synthetic_sequence(n_frames=n_frames, n_people=n_people,
                              n_views=n_views, cfg=cfg, seed=0,
@@ -83,11 +85,21 @@ def study_config(n_views, n_people, n_frames, use_ik=True, drop_prob=0.05,
         }
 
     raw = score(tlets)
+    if crossings:
+        # hindsight crossing resolution (VERDICT r4 next #2) BEFORE the
+        # fragment merge — fixes in-fragment identity swaps reid cannot see
+        from multiview_motion_capture_tpu.crossings import resolve_crossings
+
+        tlets, xlog = resolve_crossings(tlets, return_log=True)
     merged = merge_tracklets(tlets)
     after = score(merged)
     cleaned = filter_ghost_tracklets(merged, min_track_length)
     final = score(cleaned)
     res = {"raw": raw, "reid": after, "reid+ghost_filter": final}
+    if crossings:
+        res["crossings_resolved"] = score(tlets)
+        res["crossing_events"] = len(xlog)
+        res["crossing_swaps"] = sum(1 for e in xlog if e.get("swap"))
     if compare_bone_gate:
         # trajectory-only lower bound: bone statistics never fit, so the
         # bone gate and its strong-evidence widening both disappear —
@@ -135,6 +147,12 @@ def main():
         "10cam_x_10ppl_f200_appearance_extractorgrade_auto8": study_config(
             10, 10, 200, appearance_dim=16, appearance_noise=0.05,
             appearance_shared_frac=0.83, appearance_auto_target_px=8.0),
+        # + hindsight crossing repair (r5): 2-means identity cuts before the
+        # appearance-aware merge — the measured answer to the crossing-
+        # instant in-fragment switches (docs/PERF.md r5 cuts-beat-swaps)
+        "10cam_x_10ppl_f200_appearance_extractorgrade_crossings": study_config(
+            10, 10, 200, appearance_dim=16, appearance_noise=0.05,
+            appearance_shared_frac=0.83, crossings=True),
     }
     print(json.dumps({
         "metric": "identity_study",

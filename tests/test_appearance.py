@@ -226,16 +226,27 @@ def test_auto_gain_calibration():
     # CONTRACT is that the stats track those truths and the gain lands at
     # target / gap, not any particular absolute cosine
     cfg, st = final_state(0.0, 0.25)
-    cs, cd, w = np.asarray(st.app_stats)
+    cs, cd, w, vs = np.asarray(st.app_stats)
     assert w > 0.5, st.app_stats
     assert cs > 0.6 and cs - cd > 0.3, (cs, cd)
     g = float(_appearance_gain(cfg, st))
-    assert g == pytest.approx(8.0 / (cs - cd), rel=1e-3), (g, cs, cd)
+
+    def expected(cfg, stats):
+        cs, cd, w, vs = np.asarray(stats)
+        # the r5 two-constraint rule: discrimination target AND noise cap
+        # (gain * std(matched cos) <= appearance_auto_noise_px)
+        return min(8.0 / (cs - cd),
+                   cfg.appearance_auto_noise_px / max(np.sqrt(vs), 1e-6))
+
+    assert g == pytest.approx(expected(cfg, st.app_stats), rel=1e-3), (
+        g, np.asarray(st.app_stats))
 
     # extractor-grade shared structure (cos_diff ~0.8): the gap shrinks,
-    # the auto gain grows to keep the true-vs-false swap worth target px
+    # the auto gain grows to keep the true-vs-false swap worth target px —
+    # up to the noise cap
     cfg2, st2 = final_state(0.83, 0.15)
     g2 = float(_appearance_gain(cfg2, st2))
+    assert g2 == pytest.approx(expected(cfg2, st2.app_stats), rel=1e-3)
     assert g2 > 1.5 * g, (g, g2)
 
     # signal-free source (identical embedding for everyone): gap ~ 0
