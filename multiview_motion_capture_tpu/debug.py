@@ -112,13 +112,24 @@ def frame_debug(ctx: TrackerContext, state: TrackerState, kps, valid,
     if cfg.assoc_clusters > 1:
         C = cfg.assoc_clusters
         cluster_of_view = np.arange(V) % C
+        Vc = -(-V // C)
         for c in range(C):
             views_c = np.nonzero(cluster_of_view == c)[0]
+            # pad short clusters to the shared ceil width exactly as
+            # tracker._clustered_association does (non-divisible V)
+            if len(views_c) < Vc:
+                views_p = np.concatenate(
+                    [views_c,
+                     np.full(Vc - len(views_c), views_c[0], views_c.dtype)])
+                vvalid = np.arange(Vc) < len(views_c)
+            else:
+                views_p, vvalid = views_c, None
             sim_st, _, d23c = _spatial_time_similarity(
-                ctx, state, kps, valid, view_idx=views_c, app=app)
+                ctx, state, kps, valid, view_idx=views_p, app=app,
+                view_valid=vvalid)
             sim_sp, _ = _spatial_similarity(
-                ctx, kps, valid, view_idx=views_c, app=app,
-                app_gain=_appearance_gain(cfg, state))
+                ctx, kps, valid, view_idx=views_p, app=app,
+                app_gain=_appearance_gain(cfg, state), view_valid=vvalid)
             sim = sim_st if any_alive else sim_sp
             als = _als_xla(ctx, sim, ctx.cluster_diag_mask, ctx.cluster_init_A)
             clusters.append({

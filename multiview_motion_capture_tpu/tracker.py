@@ -199,12 +199,15 @@ class TrackerContext:
         cluster_pallas_ctx = None
         if cfg.assoc_clusters > 1:
             C = cfg.assoc_clusters
-            if cfg.n_views % C != 0:
+            if C > cfg.n_views:
                 raise ValueError(
-                    f"n_views={cfg.n_views} not divisible by "
-                    f"assoc_clusters={C}"
-                )
-            Vc = cfg.n_views // C
+                    f"assoc_clusters={C} exceeds n_views={cfg.n_views}")
+            # non-divisible view counts (r5): clusters take the interleaved
+            # sizes ceil/floor(V/C); every cluster solve runs at the CEIL
+            # shape and the short clusters pad with dead detection slots
+            # (zero similarity rows — exactly how invalid detections behave
+            # everywhere else), so one shared mask/init serves all C
+            Vc = -(-cfg.n_views // C)
             nc = cfg.max_tracks + Vc * cfg.max_people
             c_sizes = (cfg.max_tracks,) + (cfg.max_people,) * Vc
             c_mask = assoc.block_diag_mask(c_sizes)
@@ -384,6 +387,7 @@ def _spatial_time_similarity(
     ctx: TrackerContext, state: TrackerState, kps: Array, det_valid: Array,
     view_idx: Optional[np.ndarray] = None,
     app: Optional[Array] = None,
+    view_valid: Optional[np.ndarray] = None,
 ) -> Tuple[Array, Array, Array]:
     """The spatial-time similarity matrix (ref:src/motion_capture.py:634-756).
 
@@ -411,6 +415,10 @@ def _spatial_time_similarity(
         P_mats = ctx.cams.P[view_idx]
         if app is not None:
             app = app[view_idx]
+        if view_valid is not None:
+            # dead pad rows (non-divisible cluster sizes): a duplicated
+            # view with every detection masked contributes nothing
+            det_valid = det_valid & jnp.asarray(view_valid)[:, None]
     N = T + V * P
 
     # ---- 2D-2D epipolar block (V,P,V,P) ----
@@ -475,6 +483,7 @@ def _spatial_similarity(
     view_idx: Optional[np.ndarray] = None,
     app: Optional[Array] = None,
     app_gain=None,
+    view_valid: Optional[np.ndarray] = None,
 ) -> Tuple[Array, Array]:
     """The spatial-only similarity (ref:src/motion_capture.py:597-631 +
     ref:src/mv_math_util.py:320-351 `geometry_affinity`): raw epipolar
@@ -507,6 +516,8 @@ def _spatial_similarity(
         F_spatial = ctx.F_spatial[np.ix_(view_idx, view_idx)]
         if app is not None:
             app = app[view_idx]
+        if view_valid is not None:
+            det_valid = det_valid & jnp.asarray(view_valid)[:, None]
     N = T + V * P
 
     if ctx.mesh is not None and view_idx is None:
@@ -612,7 +623,7 @@ def _clustered_association(
     T, V, P = cfg.max_tracks, cfg.n_views, cfg.max_people
     N = cfg.n_matrix
     C = cfg.assoc_clusters
-    Vc = V // C
+    Vc = -(-V // C)  # ceil: every cluster solve runs at this padded width
     W = Vc * P
 
     t_alive = state.active > 0
@@ -636,11 +647,24 @@ def _clustered_association(
     cluster_views = [np.nonzero(cluster_of_view == c)[0] for c in range(C)]
     subs = []
     for views_c in cluster_views:
+        n_real = len(views_c)
+        if n_real < Vc:
+            # non-divisible V: pad the short cluster to the shared CEIL
+            # width by duplicating its first view with view_valid=False —
+            # every detection of the pad view is masked, so it contributes
+            # exactly nothing (same mechanism as an invalid detection)
+            views_p = np.concatenate(
+                [views_c, np.full(Vc - n_real, views_c[0], views_c.dtype)])
+            vvalid = np.arange(Vc) < n_real
+        else:
+            views_p, vvalid = views_c, None
         sim_st_c, _, _ = _spatial_time_similarity(ctx, state, kps, det_valid,
-                                                  view_idx=views_c, app=app)
+                                                  view_idx=views_p, app=app,
+                                                  view_valid=vvalid)
         sim_sp_c, _ = _spatial_similarity(ctx, kps, det_valid,
-                                          view_idx=views_c, app=app,
-                                          app_gain=_appearance_gain(cfg, state))
+                                          view_idx=views_p, app=app,
+                                          app_gain=_appearance_gain(cfg, state),
+                                          view_valid=vvalid)
         subs.append(jnp.where(any_alive, sim_st_c, sim_sp_c))
 
     if ctx.cluster_mesh is not None:
@@ -693,11 +717,12 @@ def _clustered_association(
     x_td = jnp.zeros((T, V, P), dtype=bool)
     x_dd = jnp.zeros((V, P, V, P), dtype=bool)
     for c, (views_c, xb) in enumerate(zip(cluster_views, xbs)):
-        Vc = len(views_c)
+        n_real = len(views_c)  # pad rows (if any) sit at the END — slice off
         x_tt = x_tt | xb[:T, :T]
-        x_td = x_td.at[:, c::C, :].set(xb[:T, T:].reshape(T, Vc, P))
+        x_td = x_td.at[:, c::C, :].set(
+            xb[:T, T:].reshape(T, Vc, P)[:, :n_real])
         x_dd = x_dd.at[c::C, :, c::C, :].set(
-            xb[T:, T:].reshape(Vc, P, Vc, P)
+            xb[T:, T:].reshape(Vc, P, Vc, P)[:n_real, :, :n_real]
         )
     x_td = x_td.reshape(T, V * P)
     top = jnp.concatenate([x_tt, x_td], axis=1)

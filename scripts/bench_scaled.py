@@ -88,6 +88,17 @@ def main():
         "64cam_x_10ppl_2clusters": bench_config(64, 10, n_frames=60,
                                                 clusters=2, ik_max_views=16),
     }
+    if "--cam128" in sys.argv:
+        # r5 (VERDICT r4 next #4): 128 cameras.  4 interleaved clusters of
+        # 32 cams — each per-cluster solve is the same N_c = 336 three-tile
+        # fused-kernel shape as the monolithic 32-cam rig; the global
+        # matrix is synthesized + centroid-merged.  The 5-cluster variant
+        # exercises the non-divisible path (ceil 26 views, dead-pad) at a
+        # smaller per-cluster solve.
+        results["128cam_x_10ppl_4clusters"] = bench_config(
+            128, 10, n_frames=60, clusters=4, ik_max_views=16)
+        results["128cam_x_10ppl_5clusters_nondiv"] = bench_config(
+            128, 10, n_frames=60, clusters=5, ik_max_views=16)
     if "--ik-levers" in sys.argv:
         # r4 wide-rig IK levers (VERDICT r3 next #1): merged cold schedule
         # (quality-neutral-or-better on Shelf, docs/PERF.md) and looser LM

@@ -101,11 +101,36 @@ def test_clustered_pallas_batched_matches_xla():
         np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-4)
 
 
-def test_cluster_divisibility_rejected():
-    with pytest.raises(ValueError, match="not divisible"):
+def test_clustered_non_divisible_matches_monolithic():
+    """n_views % C != 0 (r5): clusters take interleaved sizes 4/3/3 and the
+    short ones pad with a dead duplicate view — the result must still match
+    the monolithic tracker exactly on a separable scene."""
+    cfg_m = _cfg(10, 1)
+    cfg_c = _cfg(10, 3)
+    seq = synthetic_sequence(n_frames=6, n_people=3, n_views=10, cfg=cfg_m,
+                             seed=11, drop_prob=0.0, min_person_distance=1.2)
+    kps = jnp.asarray(seq.batch.kps)
+    valid = jnp.asarray(seq.batch.valid)
+
+    ctx_m = TrackerContext.build(seq.cameras, cfg_m, use_ik=False)
+    _, out_m = run_offline(ctx_m, kps, valid)
+    a = assemble_tracklets(jax.device_get(out_m))
+
+    ctx_c = TrackerContext.build(seq.cameras, cfg_c, use_ik=False)
+    _, out_c = run_offline(ctx_c, kps, valid)
+    b = assemble_tracklets(jax.device_get(out_c))
+
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        assert x.frame_idxs == y.frame_idxs
+        np.testing.assert_allclose(x.poses_3d, y.poses_3d, atol=1e-4)
+
+
+def test_cluster_count_exceeding_views_rejected():
+    with pytest.raises(ValueError, match="exceeds"):
         from multiview_motion_capture_tpu.cameras import synthetic_camera_ring
 
-        TrackerContext.build(synthetic_camera_ring(10), _cfg(10, 3))
+        TrackerContext.build(synthetic_camera_ring(2), _cfg(2, 3))
 
 
 def test_cluster_sharded_als_equals_sequential():
