@@ -321,15 +321,18 @@ def main(argv=None) -> int:
                                                collect_appearance=True)
             import dataclasses as _dc
 
-            # gain calibrated per extractor: the raw color-layout
-            # descriptor's 0.07-0.14 cosine gap needs 60 for ~8px
-            # discrimination; the trained head's ~0.7 gap is in the
-            # oracle regime where the default 20 is the measured best
-            # (docs/PERF.md r4 head study: IDF1 0.957 at 20 vs 0.943
-            # at 60)
+            # gain 60 for BOTH extractors (r5 packed-crowd e2e study,
+            # docs/PERF.md): the raw color-layout descriptor's 0.07-0.14
+            # cosine gap needs 60 for ~8px discrimination, and with the
+            # head, packed scenes need the strong veto too — detector-driven
+            # 8 people at dist 0.5: IDF1 0.698@60 vs 0.525@20 raw,
+            # 0.906@60 vs 0.824@20 with --crossings.  The sparse 4-person
+            # scene prefers 20 by only 0.014 (0.957 vs 0.943, r4) — 60 is
+            # the robust choice.  The online auto rule measured WORSE with
+            # the head on packed scenes (noise cap binds at ~10px,
+            # crossings_auto20 0.820) — kept opt-in.
             cfg = _dc.replace(cfg, appearance_dim=app.shape[-1],
-                              appearance_gain_px=(20.0 if head is not None
-                                                  else 60.0))
+                              appearance_gain_px=60.0)
         else:
             batch = frames_to_frame_batch(detect, params, images, cfg)
         detect_s = time.perf_counter() - t0

@@ -147,6 +147,16 @@ def main():
         # pipeline.run — the raw_* fields of this row are therefore already
         # post-merge; reid_* re-merges, a near no-op)
         "appearance_crossings": score(True, crossings=True),
+        # packed scenes push the best static gain UP (contaminated EMAs
+        # need a stronger appearance veto): sweep the crossing pass over
+        # gain and the auto rule (r5 crowd study)
+        "appearance_gain40": score(True, appearance_gain_px=40.0),
+        "appearance_crossings_gain40": score(True, crossings=True,
+                                             appearance_gain_px=40.0),
+        "appearance_crossings_gain60": score(True, crossings=True,
+                                             appearance_gain_px=60.0),
+        "appearance_crossings_auto20": score(True, crossings=True,
+                                             appearance_auto_target_px=20.0),
     }
     print(json.dumps({"metric": "appearance_e2e_study", "extra": out},
                      indent=1))

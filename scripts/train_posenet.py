@@ -133,7 +133,8 @@ def evaluate(mcfg, params, ss, max_people=6, center_nms=5):
                                ss.present, match_px=12.0)
 
 
-def main(steps=6000, batch=16, lr=1e-3, out=None, resume=None, crowd=False):
+def main(steps=6000, batch=16, lr=1e-3, out=None, resume=None, crowd=False,
+         noise_aug=0.0):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
@@ -203,13 +204,41 @@ def main(steps=6000, batch=16, lr=1e-3, out=None, resume=None, crowd=False):
     print(f"training on {N} samples, {steps} steps, batch {batch}",
           file=sys.stderr)
 
+    if noise_aug > 0:
+        # photometric augmentation (r5): per-sample brightness scale +
+        # additive sensor noise.  Targets the dark_noisy style-holdout
+        # precision gate (spurious weak center peaks under heavy noise,
+        # docs/PERF.md r4 style table) WITHOUT training on the held-out
+        # styles themselves.  Targets are unchanged — photometry moves no
+        # keypoint.
+        aug_step = step_fn
+
+        @jax.jit
+        def step_with_aug(params, opt, images, heat_tgt, off_tgt, off_mask,
+                          k):
+            k1, k2, k3 = jax.random.split(k, 3)
+            scale = jax.random.uniform(k1, (images.shape[0], 1, 1, 1),
+                                       minval=0.5, maxval=1.15)
+            sigma = jax.random.uniform(k2, (images.shape[0], 1, 1, 1),
+                                       minval=0.0, maxval=noise_aug)
+            images = jnp.clip(
+                images * scale + sigma * jax.random.normal(k3, images.shape),
+                0.0, 1.0)
+            return aug_step(params, opt, images, heat_tgt, off_tgt, off_mask)
+
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     for s in range(steps):
         key, k = jax.random.split(key)
         idx = jax.random.randint(k, (batch,), 0, N)
-        params, opt, loss = step_fn(params, opt, imgs[idx], heat_t[idx],
-                                    off_t[idx], off_m[idx])
+        if noise_aug > 0:
+            key, ka = jax.random.split(key)
+            params, opt, loss = step_with_aug(params, opt, imgs[idx],
+                                              heat_t[idx], off_t[idx],
+                                              off_m[idx], ka)
+        else:
+            params, opt, loss = step_fn(params, opt, imgs[idx], heat_t[idx],
+                                        off_t[idx], off_m[idx])
         if s % 500 == 0 or s == steps - 1:
             print(f"step {s}: loss {float(loss):.5f} "
                   f"({(time.time()-t0):.0f}s)", file=sys.stderr)
@@ -253,6 +282,10 @@ if __name__ == "__main__":
                     help="dense-crowd curriculum: visibility-aware "
                          "supervision + 5-10-person packed scenes mixed in, "
                          "crowd held-out gates reported")
+    ap.add_argument("--noise_aug", type=float, default=0.0,
+                    help="photometric augmentation: brightness scale "
+                         "[0.5, 1.15] + additive gaussian noise with "
+                         "per-sample sigma up to this value (0 disables)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -260,4 +293,4 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
     main(steps=args.steps, batch=args.batch, lr=args.lr, out=args.out,
-         resume=args.resume, crowd=args.crowd)
+         resume=args.resume, crowd=args.crowd, noise_aug=args.noise_aug)
