@@ -64,7 +64,7 @@ def scaled_cameras(cams, scale):
 
 
 def main(steps=400, n_frames=8, n_people=2, n_views=4, seed=0,
-         dump_params=None):
+         dump_params=None, cache=False):
     import optax
 
     from multiview_motion_capture_tpu.config import PipelineConfig
@@ -73,12 +73,18 @@ def main(steps=400, n_frames=8, n_people=2, n_views=4, seed=0,
         make_multi_person_detector,
     )
     from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.models import pose_net as pose_net_mod
+    from multiview_motion_capture_tpu.models.checkpoint import (
+        load_posenet,
+        save_posenet,
+    )
     from multiview_motion_capture_tpu.models.pose_net import (
         PoseNet,
         PoseNetConfig,
         center_targets,
         gaussian_heatmaps,
     )
+    from multiview_motion_capture_tpu.utils import testcache
     from multiview_motion_capture_tpu import pipeline
     from multiview_motion_capture_tpu.eval import mpjpe_vs_ground_truth
 
@@ -171,34 +177,52 @@ def main(steps=400, n_frames=8, n_people=2, n_views=4, seed=0,
 
     # ---- train: both input sizes through the same (fully-conv) params ----
     model = PoseNet(mcfg)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, mh, mw, 3)))["params"]
-    tx = optax.adam(2e-3)
-    opt = tx.init(params)
+    ckpt = None
+    if cache:
+        # train-once disk cache (utils/testcache): keyed by the sources
+        # that shape the training + the hyper-params
+        fp = testcache.source_fingerprint(
+            [pose_net_mod.__file__, __file__],
+            f"fullframe-{steps}-{n_frames}-{n_people}-{n_views}-{seed}")
+        ckpt = testcache.checkpoint_path("e2e_fullframe", fp)
+    if ckpt is not None and ckpt.exists():
+        print(f"loading cached training: {ckpt}")
+        _, params = load_posenet(ckpt)
+    else:
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, mh, mw, 3)))["params"]
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
 
-    def wmse(h, t):
-        # peak-weighted MSE: plain MSE dilutes the gaussian peaks' gradient
-        # over the (mostly-background) map and converges slowly
-        return jnp.mean((h - t) ** 2 * (1.0 + 20.0 * t))
+        def wmse(h, t):
+            # peak-weighted MSE: plain MSE dilutes the gaussian peaks'
+            # gradient over the (mostly-background) map and converges slowly
+            return jnp.mean((h - t) ** 2 * (1.0 + 20.0 * t))
 
-    @jax.jit
-    def train_step(params, opt, idx_f, idx_c):
-        def loss_fn(p):
-            heat_f = model.apply({"params": p}, full_imgs[idx_f], train=True)
-            heat_c = model.apply({"params": p}, crop_imgs[idx_c], train=True)
-            return wmse(heat_f, full_tgts[idx_f]) + wmse(heat_c, crop_tgts[idx_c])
+        @jax.jit
+        def train_step(params, opt, idx_f, idx_c):
+            def loss_fn(p):
+                heat_f = model.apply({"params": p}, full_imgs[idx_f],
+                                     train=True)
+                heat_c = model.apply({"params": p}, crop_imgs[idx_c],
+                                     train=True)
+                return (wmse(heat_f, full_tgts[idx_f])
+                        + wmse(heat_c, crop_tgts[idx_c]))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt)
-        return optax.apply_updates(params, upd), opt, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, upd), opt, loss
 
-    key = jax.random.PRNGKey(1)
-    for s in range(steps):
-        key, kf, kc = jax.random.split(key, 3)
-        idx_f = jax.random.randint(kf, (8,), 0, full_imgs.shape[0])
-        idx_c = jax.random.randint(kc, (8,), 0, crop_imgs.shape[0])
-        params, opt, loss = train_step(params, opt, idx_f, idx_c)
-        if s % 50 == 0 or s == steps - 1:
-            print(f"train step {s}: loss {float(loss):.5f}")
+        key = jax.random.PRNGKey(1)
+        for s in range(steps):
+            key, kf, kc = jax.random.split(key, 3)
+            idx_f = jax.random.randint(kf, (8,), 0, full_imgs.shape[0])
+            idx_c = jax.random.randint(kc, (8,), 0, crop_imgs.shape[0])
+            params, opt, loss = train_step(params, opt, idx_f, idx_c)
+            if s % 50 == 0 or s == steps - 1:
+                print(f"train step {s}: loss {float(loss):.5f}")
+        if ckpt is not None:
+            save_posenet(ckpt, mcfg, params)
 
     if dump_params:
         from multiview_motion_capture_tpu.models.checkpoint import save_params

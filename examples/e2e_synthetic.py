@@ -44,7 +44,8 @@ def render_crops(kps_xy, boxes, rng_colors):
     return np.clip(img, 0, 1).astype(np.float32), local
 
 
-def main(steps=300, n_frames=20, n_people=2, n_views=4, seed=0):
+def main(steps=300, n_frames=20, n_people=2, n_views=4, seed=0,
+         cache=False):
     import optax
 
     from multiview_motion_capture_tpu.config import PipelineConfig
@@ -53,12 +54,18 @@ def main(steps=300, n_frames=20, n_people=2, n_views=4, seed=0):
         make_detector,
     )
     from multiview_motion_capture_tpu.data.synthetic import synthetic_sequence
+    from multiview_motion_capture_tpu.models import pose_net as pose_net_mod
+    from multiview_motion_capture_tpu.models.checkpoint import (
+        load_posenet,
+        save_posenet,
+    )
     from multiview_motion_capture_tpu.models.pose_net import (
         PoseNet,
         PoseNetConfig,
         gaussian_heatmaps,
         heatmap_loss,
     )
+    from multiview_motion_capture_tpu.utils import testcache
     from multiview_motion_capture_tpu import pipeline
     from multiview_motion_capture_tpu.eval import mpjpe_vs_ground_truth
 
@@ -86,31 +93,47 @@ def main(steps=300, n_frames=20, n_people=2, n_views=4, seed=0):
     mcfg = PoseNetConfig(img_hw=CROP_HW, stage_features=(64, 128, 256),
                          blocks_per_stage=1, head_features=128)
     model = PoseNet(mcfg)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + CROP_HW + (3,)))["params"]
-    tx = optax.adam(2e-3)
-    opt = tx.init(params)
-    target = gaussian_heatmaps(jnp.asarray(local / 4.0), mcfg.heatmap_hw)
-    imgs = jnp.asarray(crops)
-    mask = jnp.ones((len(crops), 17))
+    ckpt = None
+    if cache:
+        # train-once disk cache (utils/testcache): keyed by the sources
+        # that shape the training + the hyper-params, so any change to the
+        # model or this example retrains instead of silently reusing
+        fp = testcache.source_fingerprint(
+            [pose_net_mod.__file__, __file__],
+            f"synthetic-{steps}-{n_frames}-{n_people}-{n_views}-{seed}")
+        ckpt = testcache.checkpoint_path("e2e_synthetic", fp)
+    if ckpt is not None and ckpt.exists():
+        print(f"loading cached training: {ckpt}")
+        _, params = load_posenet(ckpt)
+    else:
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1,) + CROP_HW + (3,)))["params"]
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
+        target = gaussian_heatmaps(jnp.asarray(local / 4.0), mcfg.heatmap_hw)
+        imgs = jnp.asarray(crops)
+        mask = jnp.ones((len(crops), 17))
 
-    @jax.jit
-    def train_step(params, opt, idx):
-        def loss_fn(p):
-            heat = model.apply({"params": p}, imgs[idx], train=True)
-            return heatmap_loss(heat, target[idx], mask[idx])
+        @jax.jit
+        def train_step(params, opt, idx):
+            def loss_fn(p):
+                heat = model.apply({"params": p}, imgs[idx], train=True)
+                return heatmap_loss(heat, target[idx], mask[idx])
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt)
-        return optax.apply_updates(params, upd), opt, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, upd), opt, loss
 
-    bs = 32
-    key = jax.random.PRNGKey(1)
-    for s in range(steps):
-        key, k = jax.random.split(key)
-        idx = jax.random.randint(k, (bs,), 0, len(crops))
-        params, opt, loss = train_step(params, opt, idx)
-        if s % 50 == 0 or s == steps - 1:
-            print(f"train step {s}: loss {float(loss):.5f}")
+        bs = 32
+        key = jax.random.PRNGKey(1)
+        for s in range(steps):
+            key, k = jax.random.split(key)
+            idx = jax.random.randint(k, (bs,), 0, len(crops))
+            params, opt, loss = train_step(params, opt, idx)
+            if s % 50 == 0 or s == steps - 1:
+                print(f"train step {s}: loss {float(loss):.5f}")
+        if ckpt is not None:
+            save_posenet(ckpt, mcfg, params)
 
     # ---- detect on every crop and run the full pipeline ----
     detect, _ = make_detector(mcfg, params=params)

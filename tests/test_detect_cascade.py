@@ -104,8 +104,10 @@ def test_fullframe_multiperson_end_to_end():
     — inherent to top-down decoding, not a pipeline defect."""
     from examples.e2e_fullframe import main
 
+    # cache=True: train-once disk fixture (utils/testcache) — retrains only
+    # when pose_net.py / the example change (VERDICT r4 next #9 suite time)
     recall, det_err, n_long, mpjpe = main(steps=250, n_frames=8, n_people=2,
-                                          n_views=4, seed=0)
+                                          n_views=4, seed=0, cache=True)
     assert recall > 0.4, recall
     assert det_err < 9.0, det_err
     assert n_long == 2
