@@ -51,6 +51,22 @@ def pad_for(n: int) -> int:
     return max(TILE, -(-n // TILE) * TILE)
 
 
+def max_als_batch(pad: int) -> int:
+    """Largest C the batched kernel fits in scoped VMEM at this pad.
+
+    The batched program keeps every cluster's ADMM state resident for the
+    whole solve; the compiler's measured stack need at (C=4, pad=384) was
+    16.25 MB against the 16 MB scoped-vmem limit (128-cam bench, r5).
+    That calibrates to ~6.5 live (pad, pad) f32 buffers per cluster
+    (X/Z/Y/A + update temporaries) plus ~2.5 shared (keep, eye_t, B
+    workspace).  Budgeted at 15 MB for headroom; callers chunk batches
+    larger than this into sequential pallas_calls (tracker
+    _clustered_association)."""
+    per = 6.5 * pad * pad * 4
+    shared = 2.5 * pad * pad * 4
+    return max(1, int((15 * 1024 * 1024 - shared) // per))
+
+
 def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
     out = np.zeros((rows, cols), dtype=np.float32)
     out[: x.shape[0], : x.shape[1]] = x

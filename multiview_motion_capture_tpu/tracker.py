@@ -695,15 +695,26 @@ def _clustered_association(
         n_c = subs[0].shape[0]
         W_pad = jnp.stack(
             [als_pallas.pad_similarity(s, pc.pad) for s in subs])
-        x_pads, iters_c = als_pallas.match_als_pallas_batched(
-            W_pad, pc.keep, pc.eye_t, pc.init_A, pc.n_true,
-            alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
-            tol=cfg.als_tol, max_iter=cfg.als_max_iter,
-            stable_iters=cfg.als_stable_iters, rank=pc.rank,
-            interpret=ctx.als_interpret,
-        )
+        # scoped-VMEM budget: the batched program keeps every cluster's
+        # ADMM state resident, so wide rigs (128 cams = 4+ clusters of
+        # pad 384) split into sequential chunks of the largest batch that
+        # fits (als_pallas.max_als_batch; identical per-cluster results —
+        # each problem freezes at its own stop test regardless of batch)
+        c_max = als_pallas.max_als_batch(pc.pad)
+        x_chunks, it_chunks = [], []
+        for i in range(0, C, c_max):
+            x_p, it_c = als_pallas.match_als_pallas_batched(
+                W_pad[i:i + c_max], pc.keep, pc.eye_t, pc.init_A, pc.n_true,
+                alpha=cfg.als_alpha, beta=cfg.als_beta, mu0=cfg.als_mu,
+                tol=cfg.als_tol, max_iter=cfg.als_max_iter,
+                stable_iters=cfg.als_stable_iters, rank=pc.rank,
+                interpret=ctx.als_interpret,
+            )
+            x_chunks.append(x_p)
+            it_chunks.append(it_c)
+        x_pads = jnp.concatenate(x_chunks, axis=0)
         xbs = [x_pads[c, :n_c, :n_c] for c in range(C)]
-        iters = iters_c.sum()
+        iters = jnp.concatenate(it_chunks).sum()
     else:
         xbs = []
         iters = jnp.asarray(0, jnp.int32)
