@@ -52,6 +52,22 @@ def main() -> None:
     }
     quality_ok = all(gate.values())
 
+    # trend, not just threshold (VERDICT r4 #7): the mean crept
+    # 8.65 -> 8.82 -> 8.97 -> 9.10 px across r1-r4 while the median stayed
+    # flat (attribution: scripts/bench_quality_bisect.py + docs/PERF.md r5).
+    # Emit the per-round mean history from the driver's BENCH_r*.json
+    # records so a monotonic drift is visible in every bench output.
+    trend = {}
+    for p in sorted(Path(__file__).resolve().parent.glob("BENCH_r0*.json")):
+        try:
+            rec = json.loads(p.read_text())
+            line = [ln for ln in rec.get("tail", "").splitlines()
+                    if ln.startswith("{")][0]
+            trend[p.stem.replace("BENCH_", "")] = json.loads(
+                line)["extra"]["reproj_px_mean"]
+        except Exception:
+            pass
+
     print(
         json.dumps(
             {
@@ -71,6 +87,8 @@ def main() -> None:
                         res.timings.get("compile+track", 0.0) - res.track_time_s, 2
                     ),
                     "backend": jax.default_backend(),
+                    "reproj_mean_trend": {**trend,
+                                          "now": round(m.mean_reproj_px, 2)},
                     "quality_ok": quality_ok,
                     **({} if quality_ok else {"quality_gate": gate}),
                 },

@@ -747,17 +747,25 @@ def _clustered_association(
     det_member = member0[T:].reshape(V, P)
     e_global = jnp.arange(V * P, dtype=jnp.int32) + T
 
-    # per candidate leader: first member per view, mean-keypoint centroid
+    # per candidate leader: first member per view, mean-keypoint centroid.
+    # The per-detection mean keypoint is independent of the candidate, so
+    # compute it ONCE (V, P, 2) and gather 2 floats per candidate-view —
+    # the naive per-candidate kps gather materialized (VP, V, K, 3)
+    # (= 8.4M f32 at 128 cams) and its fusions were ~8 ms/frame of pure
+    # HBM traffic, the top cost of the 128-cam xplane profile
+    # (docs/PERF.md r5).  Bit-identical math: same mean over the same
+    # detection's keypoints.
+    w_all = kps[..., 2] > cfg.epipolar_min_kps_score     # (V, P, K)
+    cnt_all = jnp.maximum(w_all.sum(axis=-1), 1)
+    mean_uv = ((kps[..., :2] * w_all[..., None]).sum(axis=2)
+               / cnt_all[..., None])                     # (V, P, 2)
+
     def centroid(key):
         cand = det_member & (det_rep == key)            # (V, P)
         exists = jnp.any(cand, axis=1)
         first = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        obs = jnp.take_along_axis(
-            kps, first[:, None, None, None], axis=1
-        )[:, 0]                                          # (V, K, 3)
-        w = obs[..., 2] > cfg.epipolar_min_kps_score
-        cnt = jnp.maximum(w.sum(axis=1), 1)
-        uv = (obs[..., :2] * w[..., None]).sum(axis=1) / cnt[:, None]
+        uv = jnp.take_along_axis(
+            mean_uv, first[:, None, None], axis=1)[:, 0]  # (V, 2)
         sc = jnp.where(exists, 1.0, 0.0)
         point_obs = jnp.concatenate([uv, sc[:, None]], axis=-1)[:, None, :]
         tri = triangulate_points(ctx.cams.P, ctx.K_inv, point_obs, exists,

@@ -99,6 +99,19 @@ def main():
             128, 10, n_frames=60, clusters=4, ik_max_views=16)
         results["128cam_x_10ppl_5clusters_nondiv"] = bench_config(
             128, 10, n_frames=60, clusters=5, ik_max_views=16)
+        # the wide() preset's IK levers (cold1 + warm3, the 64-cam
+        # recommendation from the r4 sweep — quality-gated there)
+        results["128cam_x_10ppl_4clusters_levers"] = bench_config(
+            128, 10, n_frames=60, clusters=4, ik_max_views=16,
+            ik_cold_stages=1, ik_warm_iters=3)
+        # + cold-iteration budget 25 (the 128-cam recommendation): from the
+        # geometric init the cold LM converges well before 15 iterations at
+        # ik_max_views=16 — 50/25/15 budgets measured IDENTICAL track
+        # structure and MPJPE (0.8628 m) at 94.2/103.9/109.1 fps
+        # (docs/PERF.md r5); 25 keeps 2x convergence headroom
+        results["128cam_x_10ppl_4clusters_levers_cold25"] = bench_config(
+            128, 10, n_frames=60, clusters=4, ik_max_views=16,
+            ik_cold_stages=1, ik_warm_iters=3, ik_cold_iters=25)
     if "--ik-levers" in sys.argv:
         # r4 wide-rig IK levers (VERDICT r3 next #1): merged cold schedule
         # (quality-neutral-or-better on Shelf, docs/PERF.md) and looser LM
