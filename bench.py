@@ -45,7 +45,14 @@ def main() -> None:
     # re-ID reassembles the full identities), 0 degenerate poses.
     gate = {
         "median_le": m.median_reproj_px <= 6.6,
-        "mean_le": m.mean_reproj_px <= 9.5,
+        # 9.3: the r1-r4 mean creep (8.65 -> 9.10) is fully attributed
+        # (scripts/bench_quality_bisect.py, docs/PERF.md r5) to two
+        # deliberate flips — the rescue deviation (+0.15, fragments
+        # 34 -> 27) and the cold1 schedule (+0.14, +70 fps); the median
+        # is flat in every variant.  The band is tightened 9.5 -> 9.3 so
+        # the NEXT mean-increasing flip fails loudly and must re-band
+        # with its own written justification.
+        "mean_le": m.mean_reproj_px <= 9.3,
         "tracklet_band": 20 <= len(res.tracklets) <= 32,
         "long_tracks": len([x for x in m.lengths if x >= 190]) >= 2,
         "no_degenerate": m.n_degenerate_poses == 0,
