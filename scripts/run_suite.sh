@@ -1,19 +1,26 @@
 #!/bin/bash
-# Full CPU test suite, sharded into two pytest processes.
+# Full CPU test suite, sharded into three pytest processes.
 #
 # One long pytest process reproducibly SEGFAULTS inside XLA:CPU compilation
 # (jax compiler.py backend_compile_and_load) after ~140 accumulated
-# compiles — twice at the same test (test_tracker.py::
-# test_offline_triangulation_tracking), which passes in isolation; fresh
-# cache and solo runs don't help, so it's cumulative jaxlib compiler state,
-# not this repo's code (CLAUDE.md "Environment gotchas").  Two fresh
-# processes sidestep it.
+# compiles — repeatedly at the same test (first test_tracker.py::
+# test_offline_triangulation_tracking, then after the r5 test additions
+# test_sharded_ik.py::test_tracker_ik_mesh_matches_single_device at 96%
+# of the first shard, fresh cache), which passes in isolation; fresh cache
+# and solo runs don't help, so it's cumulative jaxlib compiler state, not
+# this repo's code (CLAUDE.md "Environment gotchas").  Fresh processes
+# sidestep it; three keep each shard comfortably under the threshold.
 set -e
 cd "$(dirname "$0")/.."
+# Mesh/sharding tests compile the most programs (every test jits over an
+# 8-device mesh) — they get their own process.
+SHARD3="tests/test_parallel.py tests/test_sharded_ik.py \
+tests/test_cluster_association.py"
 SHARD2="tests/test_reference_parity.py tests/test_reid.py \
 tests/test_robustness.py tests/test_shipped_checkpoint.py \
 tests/test_similarity_oracle.py tests/test_tracker.py"
 IGNORES=""
-for f in $SHARD2; do IGNORES="$IGNORES --ignore $f"; done
+for f in $SHARD2 $SHARD3; do IGNORES="$IGNORES --ignore $f"; done
 python -m pytest tests/ -q $IGNORES "$@"
 python -m pytest $SHARD2 -q "$@"
+python -m pytest $SHARD3 -q "$@"

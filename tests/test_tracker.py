@@ -261,16 +261,19 @@ def test_fast_preset_consistency(shelf_data_dir):
 def test_crowded_preset_fields():
     """`PipelineConfig.crowded()` is the identity-first preset: rescue off
     (the measured 10x10 identity hazard, docs/PERF.md r3 rescue/motion
-    grid), everything else at parity defaults; overrides pass through."""
+    grid) and the tight center-NMS window (packed crowds put 21-24% of GT
+    center pairs under 3 heatmap px, docs/PERF.md r5 crowd study);
+    everything else at default; overrides pass through."""
     import dataclasses
 
     from multiview_motion_capture_tpu.config import PipelineConfig
 
     cfg = PipelineConfig.crowded()
     assert cfg.track_rescue_px == 0.0
+    assert cfg.detect_nms_window == 3
     base = PipelineConfig()
     for f in dataclasses.fields(PipelineConfig):
-        if f.name != "track_rescue_px":
+        if f.name not in ("track_rescue_px", "detect_nms_window"):
             assert getattr(cfg, f.name) == getattr(base, f.name), f.name
     assert PipelineConfig.crowded(n_views=10).n_views == 10
 
