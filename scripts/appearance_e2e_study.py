@@ -68,6 +68,16 @@ if "--dist" in sys.argv:
 NMS = 5
 if "--nms" in sys.argv:
     NMS = int(sys.argv[sys.argv.index("--nms") + 1])
+# r5 resolution lever for the 10-person identity ceiling (docs/PERF.md r5
+# crowd study pinned it to embedding+detection quality at ~20%-smaller
+# person crops): --scale F renders AND detects at F x (192, 256) — the
+# fully-conv net runs at the larger input (full_hw) so each person is F x
+# bigger in model pixels — then rescales the detected keypoints back into
+# the UNCHANGED 0.25-scale camera space, so every px-calibrated tracker
+# constant is untouched and only detection/embedding quality moves.
+SCALE = 1.0
+if "--scale" in sys.argv:
+    SCALE = float(sys.argv[sys.argv.index("--scale") + 1])
 
 
 def main():
@@ -88,8 +98,11 @@ def main():
                               np.cos(2 * np.pi * (h + 2 / 3))])
         for h in hues
     ]).astype(np.float32)
-    images = render_sequence(seq, RenderConfig(hw=(192, 256)),
-                             world_scale=0.25, seed=2, person_tints=tints)
+    hw = (int(round(192 * SCALE)), int(round(256 * SCALE)))
+    images = render_sequence(
+        seq,
+        RenderConfig(hw=hw, limb_sigma=1.6 * SCALE, joint_sigma=2.0 * SCALE),
+        world_scale=0.25 * SCALE, seed=2, person_tints=tints)
     cams_small = scaled_cameras(seq.cameras, 0.25)
 
     head = None
@@ -100,10 +113,21 @@ def main():
 
         head = load_appearance_head(CKPT.parent / "appearance_head.npz")
     detect = make_bottom_up_detector(mcfg, max_people=cfg.max_people,
+                                     full_hw=hw,
                                      center_min_score=0.2,
                                      center_nms_window=NMS,
                                      return_appearance=True,
                                      appearance_head=head)
+    if SCALE != 1.0:
+        base_detect = detect
+
+        @jax.jit
+        def detect(params, images):
+            kps, centers, valid, emb = base_detect(params, images)
+            inv = jnp.asarray([1.0 / SCALE, 1.0 / SCALE, 1.0],
+                              dtype=kps.dtype)
+            return kps * inv, centers.at[..., :2].mul(1.0 / SCALE), \
+                valid, emb
     batch, app = frames_to_frame_batch(detect, params, images, cfg,
                                        collect_appearance=True)
 
