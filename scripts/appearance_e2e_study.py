@@ -136,12 +136,12 @@ def main():
     # (identity_metrics scores matched_pose indices against these)
     det_slot_person, (same, diff) = _label_detections(seq, batch, app)
 
-    def score(appearance, crossings=False, **over):
+    def score(appearance, crossings=False, crossings_cfg=None, **over):
         c = (dataclasses.replace(cfg, appearance_dim=app.shape[-1], **over)
              if appearance else cfg)
         res = pipeline.run(batch, cams_small, c, use_ik=False,
                            app=app if appearance else None,
-                           crossings=crossings)
+                           crossings=crossings, crossings_cfg=crossings_cfg)
         m_raw = identity_metrics(res.tracklets, det_slot_person)
         m_reid = identity_metrics(merge_tracklets(res.tracklets),
                                   det_slot_person)
@@ -182,6 +182,17 @@ def main():
         "appearance_crossings_auto20": score(True, crossings=True,
                                              appearance_auto_target_px=20.0),
     }
+    if "--gate_sweep" in sys.argv:
+        # cut_gate was tuned on the oracle-grade 10x10 crowd (0.03,
+        # CrossingConfig docstring); sweep it on THIS scene's extractor
+        # at the scene's best static gain to check transfer
+        from multiview_motion_capture_tpu.crossings import CrossingConfig
+
+        for g in (0.015, 0.02, 0.05, 0.08):
+            out[f"crossings_gain60_gate{g}"] = score(
+                True, crossings=True,
+                crossings_cfg=CrossingConfig(cut_gate=g),
+                appearance_gain_px=60.0)
     print(json.dumps({"metric": "appearance_e2e_study", "extra": out},
                      indent=1))
 
