@@ -62,6 +62,16 @@ def _config(args, n_views):
     return PipelineConfig(n_views=n_views, **common)
 
 
+def _crossings_cfg(args):
+    """CrossingConfig override from CLI flags (None = library defaults)."""
+    gate = getattr(args, "cut_gate", None)
+    if gate is None:
+        return None
+    from multiview_motion_capture_tpu.crossings import CrossingConfig
+
+    return CrossingConfig(cut_gate=gate)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="multiview_motion_capture_tpu")
     sub = parser.add_subparsers(dest="mode", required=True)
@@ -89,6 +99,11 @@ def main(argv=None) -> int:
                             "pieces with the re-ID merge (implied); crossing "
                             "events without appearance are adjudicated by "
                             "bone/velocity tail swaps")
+    p_run.add_argument("--cut_gate", type=float, default=None,
+                       help="crossing identity-cut separation gate "
+                            "(default 0.03; flat optimum 0.03-0.05 across "
+                            "extractors, docs/PERF.md r5); needs "
+                            "--crossings")
     p_run.add_argument("--mesh", default=None, metavar="SPEC",
                        help="multi-chip sharding of the tracker stages, "
                             "e.g. cameras=4,clusters=8,tracks=8 (any "
@@ -135,6 +150,9 @@ def main(argv=None) -> int:
                        help="hindsight crossing resolution post-pass "
                             "(see run --crossings); most effective with "
                             "--appearance")
+    p_det.add_argument("--cut_gate", type=float, default=None,
+                       help="crossing identity-cut separation gate "
+                            "(see run --cut_gate)")
     p_det.add_argument("--appearance_head", default="auto",
                        metavar="PATH|auto|none",
                        help="metric-learned embedding head refining the "
@@ -193,6 +211,7 @@ def main(argv=None) -> int:
             parser.error("run needs --kps_dir or --frames_npz")
         res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik,
                            reid=args.reid, crossings=args.crossings,
+                           crossings_cfg=_crossings_cfg(args),
                            mesh_spec=args.mesh)
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
@@ -337,7 +356,8 @@ def main(argv=None) -> int:
             batch = frames_to_frame_batch(detect, params, images, cfg)
         detect_s = time.perf_counter() - t0
         res = pipeline.run(batch, cams, cfg, use_ik=not args.no_ik, app=app,
-                           crossings=args.crossings)
+                           crossings=args.crossings,
+                           crossings_cfg=_crossings_cfg(args))
         out_dir = Path(args.out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         pipeline.save_tracklets(out_dir / "tracklets.pkl", res.tracklets)

@@ -69,3 +69,17 @@ def test_config_preset_wide():
     assert cfg.assoc_clusters == 2
     cfg20 = _config(_args(preset="wide"), n_views=20)
     assert cfg20.assoc_clusters == 1
+
+
+def test_crossings_cfg_flag():
+    """`--cut_gate` maps to a CrossingConfig override; absent flag keeps
+    the library defaults (None) so CrossingConfig stays single-sourced."""
+    from multiview_motion_capture_tpu.__main__ import _crossings_cfg
+    from multiview_motion_capture_tpu.crossings import CrossingConfig
+
+    assert _crossings_cfg(_args()) is None
+    cc = _crossings_cfg(_args(cut_gate=0.05))
+    assert isinstance(cc, CrossingConfig)
+    assert cc.cut_gate == 0.05
+    # the other fields stay at library defaults
+    assert cc.radius_m == CrossingConfig().radius_m
